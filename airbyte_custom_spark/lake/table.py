@@ -1,0 +1,549 @@
+"""LakeTable — a minimal snapshot-based lake table on parquet.
+
+The sandbox image ships no Iceberg runtime jar, so this module implements
+the table contract the reference's Iceberg destination relies on
+(`destination-iceberg/.../IcebergConsumer.java:140-224`): atomic versioned
+commits, append/overwrite/upsert(+CDC delete) writes, schema evolution,
+time travel, and compaction — behind a small API so a real Iceberg catalog
+can be swapped in on a cluster.
+
+Layout (all relative to the table root):
+
+    _meta/VERSION            current version (int) — atomically replaced
+    _meta/snap-v<N>.json     immutable snapshot descriptors
+    data/v<N>/bucket=<b>/*.parquet   data files written by commit N
+
+Design points mirroring Iceberg, chosen for 100-TB behavior:
+
+* **Bucketed layout + copy-on-write MERGE with bucket pruning.**  Rows are
+  hash-bucketed on the bucket keys (default: conv_id — the analog of
+  Iceberg `PARTITIONED BY (bucket(B, conv_id))`, which is also the layout
+  the reference generates: partition by extract-day, cluster by pk,
+  `BigQuerySqlGenerator.java:204-221`).  A merge only rewrites the buckets
+  its source batch touches; untouched buckets' files carry over into the
+  new snapshot by reference.  A batch touching 1% of conversations rewrites
+  ~1% of the table (bounded below by bucket granularity — size
+  ``num_buckets`` so that table_size/num_buckets ≈ a few GB).
+
+* **Merge = union + map-side-combining reduce, not a row join.**  The
+  source batch is unioned with the touched target rows and reduced with
+  groupBy(pk).max_by(row, (lsn, is_delete)) — one shuffle, partial
+  aggregation on the map side, no MERGE-cardinality failures, hot keys
+  collapse before the exchange (SURVEY.md §4 "dedup before merge").
+
+* **Tombstones.**  Deletes are retained as `_deleted = true` rows, so a
+  stale update (lower lsn) arriving in a LATER batch cannot resurrect a
+  deleted key — the reference gets this by sourcing deletes from the raw
+  table (T5, `BigQuerySqlGenerator.java:514-548`); we get it by keeping the
+  tombstone's lsn in the final table.  `gc_tombstones()` drops tombstones
+  older than an LSN watermark (all sources past it ⇒ no staler update can
+  arrive).
+
+* **Exactly-once.**  Every snapshot carries `applied: {query_id: batch_id}`.
+  A replayed foreachBatch (same batch_id after restart) is detected and
+  skipped, upgrading Structured Streaming's at-least-once delivery into
+  effective exactly-once — the analog of the reference's
+  pending→flushed→committed state watermark
+  (`GlobalAsyncStateManager.java:34-160`, `airbyte-protocol.md:467-479`).
+
+* **Schema evolution.**  Snapshots store every historical schema; each data
+  file records the schema id it was written with.  Reads group files by
+  schema id, read each group with its own schema, cast, and unionByName —
+  so add-column and int→long/float→double widening never rewrite old files
+  (Iceberg semantics; reference analog E1-E4,
+  `BigQuerySqlGenerator.java:229-335`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from airbyte_custom_spark.operators.dedupe import (
+    latest_by_reduce,
+    validate_primary_keys,
+)
+from airbyte_custom_spark.schema import with_meta_columns
+
+_META_DIR = "_meta"
+_DATA_DIR = "data"
+_VERSION_FILE = "VERSION"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed since this snapshot was loaded."""
+
+
+class SchemaEvolutionError(ValueError):
+    """Incompatible schema change (drop / narrow) without soft reset."""
+
+
+@dataclass
+class MergeResult:
+    version: int | None
+    skipped: bool = False
+    touched_buckets: list[int] = field(default_factory=list)
+    carried_files: int = 0
+    written_files: int = 0
+
+
+_WIDENINGS: set[tuple[str, str]] = {
+    ("integer", "long"),
+    ("integer", "double"),
+    ("long", "double"),
+    ("float", "double"),
+    ("date", "timestamp"),
+}
+
+
+def _is_widening(src: T.DataType, dst: T.DataType) -> bool:
+    return (src.typeName(), dst.typeName()) in _WIDENINGS
+
+
+class LakeTable:
+    # ---------------------------------------------------------------- setup
+
+    def __init__(self, spark: SparkSession, path: str, snapshot: dict[str, Any]):
+        self.spark = spark
+        self.path = path
+        self.snapshot = snapshot
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        payload_schema: T.StructType,
+        primary_key: tuple[str, ...] = ("conv_id", "turn_idx"),
+        bucket_keys: tuple[str, ...] = ("conv_id",),
+        num_buckets: int = 16,
+    ) -> "LakeTable":
+        """Create an empty table. Physical schema = payload + meta columns."""
+        os.makedirs(os.path.join(path, _META_DIR), exist_ok=False)
+        physical = with_meta_columns(payload_schema)
+        snapshot = {
+            "version": 0,
+            "parent": None,
+            "operation": "create",
+            "schemas": {"0": json.loads(physical.json())},
+            "current_schema_id": 0,
+            "payload_columns": [f.name for f in payload_schema.fields],
+            "num_buckets": num_buckets,
+            "bucket_keys": list(bucket_keys),
+            "primary_key": list(primary_key),
+            "files": [],
+            "applied": {},
+            "lineage": [],
+        }
+        t = LakeTable(spark, path, snapshot)
+        t._write_snapshot(snapshot)
+        return t
+
+    @staticmethod
+    def load(spark: SparkSession, path: str, version: int | None = None) -> "LakeTable":
+        if version is None:
+            with open(os.path.join(path, _META_DIR, _VERSION_FILE)) as f:
+                version = int(f.read().strip())
+        with open(os.path.join(path, _META_DIR, f"snap-v{version}.json")) as f:
+            return LakeTable(spark, path, json.load(f))
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(os.path.join(path, _META_DIR, _VERSION_FILE))
+
+    # ------------------------------------------------------------ properties
+
+    @property
+    def version(self) -> int:
+        return self.snapshot["version"]
+
+    @property
+    def num_buckets(self) -> int:
+        return self.snapshot["num_buckets"]
+
+    @property
+    def primary_key(self) -> list[str]:
+        return self.snapshot["primary_key"]
+
+    @property
+    def payload_columns(self) -> list[str]:
+        return self.snapshot["payload_columns"]
+
+    def schema(self, schema_id: int | None = None) -> T.StructType:
+        sid = self.snapshot["current_schema_id"] if schema_id is None else schema_id
+        return T.StructType.fromJson(self.snapshot["schemas"][str(sid)])
+
+    def last_committed_batch(self, query_id: str) -> int:
+        return int(self.snapshot["applied"].get(query_id, -1))
+
+    def history(self) -> list[dict[str, Any]]:
+        out = []
+        for name in sorted(os.listdir(os.path.join(self.path, _META_DIR))):
+            if name.startswith("snap-v") and name.endswith(".json"):
+                with open(os.path.join(self.path, _META_DIR, name)) as f:
+                    s = json.load(f)
+                out.append(
+                    {
+                        "version": s["version"],
+                        "operation": s["operation"],
+                        "files": len(s["files"]),
+                        "applied": s.get("applied", {}),
+                    }
+                )
+        return sorted(out, key=lambda s: s["version"])
+
+    # ---------------------------------------------------------------- read
+
+    def bucket_expr(self, df: DataFrame) -> F.Column:
+        """Deterministic bucket of the bucket keys — a pure function of the
+        key, so it never needs storing and readers can recompute it."""
+        keys = [F.col(k) for k in self.snapshot["bucket_keys"]]
+        return F.pmod(F.xxhash64(*keys), F.lit(self.num_buckets)).cast("int")
+
+    def _align(self, df: DataFrame, target: T.StructType) -> DataFrame:
+        cols = []
+        have = set(df.columns)
+        for fld in target.fields:
+            if fld.name in have:
+                cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
+            else:
+                cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+        return df.select(*cols)
+
+    def _read_files(self, files: list[dict[str, Any]]) -> DataFrame:
+        """Read a file set, grouping by schema id (schema evolution)."""
+        target = self.schema()
+        if not files:
+            return self.spark.createDataFrame([], target)
+        by_schema: dict[int, list[str]] = {}
+        for fl in files:
+            by_schema.setdefault(int(fl.get("schema_id", 0)), []).append(
+                os.path.join(self.path, fl["path"])
+            )
+        parts: list[DataFrame] = []
+        for sid, paths in by_schema.items():
+            raw = self.spark.read.schema(self.schema(sid)).parquet(*paths)
+            parts.append(self._align(raw, target))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(
+        self,
+        include_deleted: bool = False,
+        include_meta: bool = False,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Current snapshot as a DataFrame.  ``buckets`` prunes data files
+        before Spark ever lists them (the manifest-level pruning Iceberg
+        does with partition stats)."""
+        files = self.snapshot["files"]
+        if buckets is not None:
+            bs = set(buckets)
+            files = [f for f in files if f["bucket"] in bs]
+        df = self._read_files(files)
+        if not include_deleted:
+            df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        if not include_meta:
+            df = df.select(*self.payload_columns)
+        return df
+
+    # ---------------------------------------------------------------- write
+
+    def _commit(self, snapshot: dict[str, Any]) -> None:
+        """Atomic commit: write the immutable snapshot file, then atomically
+        swing the VERSION pointer (os.replace).  Optimistic concurrency:
+        refuse if VERSION moved since this snapshot was loaded (single-writer
+        per stream, like the reference's per-stream T+D lock,
+        `DefaultTyperDeduper.java:59-69`)."""
+        vfile = os.path.join(self.path, _META_DIR, _VERSION_FILE)
+        if os.path.exists(vfile):
+            with open(vfile) as f:
+                current = int(f.read().strip())
+            if current != snapshot["parent"]:
+                raise ConcurrentCommitError(
+                    f"table at v{current}, expected v{snapshot['parent']}"
+                )
+        self._write_snapshot(snapshot)
+        self.snapshot = snapshot
+
+    def _write_snapshot(self, snapshot: dict[str, Any]) -> None:
+        meta = os.path.join(self.path, _META_DIR)
+        with open(os.path.join(meta, f"snap-v{snapshot['version']}.json"), "w") as f:
+            json.dump(snapshot, f, indent=1)
+        tmp = os.path.join(meta, f".VERSION.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(snapshot["version"]))
+        os.replace(tmp, os.path.join(meta, _VERSION_FILE))
+
+    def _write_data(self, df: DataFrame, version: int) -> list[dict[str, Any]]:
+        """Write rows (must carry all physical columns) bucketed under
+        data/v<version>/, return file manifest entries."""
+        commit_dir = os.path.join(self.path, _DATA_DIR, f"v{version}")
+        out = df.withColumn("bucket", self.bucket_expr(df))
+        # co-locate each bucket into one task → one file per non-empty bucket
+        (
+            out.repartition(self.num_buckets, "bucket")
+            .write.mode("errorifexists")
+            .partitionBy("bucket")
+            .parquet(commit_dir)
+        )
+        entries: list[dict[str, Any]] = []
+        sid = self.snapshot["current_schema_id"]
+        for root, _dirs, names in os.walk(commit_dir):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, name)
+                bucket = int(os.path.basename(root).split("=", 1)[1])
+                entries.append(
+                    {
+                        "path": os.path.relpath(full, self.path),
+                        "bucket": bucket,
+                        "schema_id": sid,
+                    }
+                )
+        return entries
+
+    def _next_snapshot(self, operation: str, **overrides: Any) -> dict[str, Any]:
+        # fail fast before any data is written if another writer committed
+        # since this snapshot was loaded (the data-dir collision would also
+        # stop us, but with a much less useful error)
+        vfile = os.path.join(self.path, _META_DIR, _VERSION_FILE)
+        if os.path.exists(vfile):
+            with open(vfile) as f:
+                current = int(f.read().strip())
+            if current != self.snapshot["version"]:
+                raise ConcurrentCommitError(
+                    f"table moved to v{current} since v{self.snapshot['version']} "
+                    "was loaded — reload and retry"
+                )
+        snap = json.loads(json.dumps(self.snapshot))  # deep copy
+        snap["parent"] = self.snapshot["version"]
+        snap["version"] = self.snapshot["version"] + 1
+        snap["operation"] = operation
+        snap["lineage"] = []
+        snap.update(overrides)
+        return snap
+
+    def _finalize_rows(self, df: DataFrame, extracted_at: datetime | None) -> DataFrame:
+        """CDC-event rows (payload + lsn + op) → physical rows (payload +
+        _lsn/_deleted/_raw_id/_extracted_at/_meta)."""
+        ex = extracted_at or datetime.now(timezone.utc)
+        pk = self.primary_key
+        deleted = (
+            (F.col("op") == "d") | F.col("_ab_cdc_deleted_at").isNotNull()
+            if "_ab_cdc_deleted_at" in df.columns
+            else (F.col("op") == "d")
+        )
+        out = (
+            df.withColumn("_lsn", F.col("lsn").cast("long"))
+            .withColumn("_deleted", deleted)
+            .withColumn(
+                "_raw_id",
+                F.sha2(
+                    F.concat_ws(
+                        "\x1f",
+                        *[F.col(k).cast("string") for k in pk],
+                        F.col("lsn").cast("string"),
+                    ),
+                    256,
+                ),
+            )
+            .withColumn("_extracted_at", F.lit(ex))
+        )
+        if "_meta" not in out.columns:
+            out = out.withColumn(
+                "_meta",
+                F.struct(F.lit(None).cast(T.ArrayType(T.StringType())).alias("errors")),
+            )
+        return self._align(out, self.schema())
+
+    # -- append / overwrite (destination_sync_mode append | overwrite) ------
+
+    def append(self, events_df: DataFrame, extracted_at: datetime | None = None) -> int:
+        """Raw append — no dedup (destination mode `append`)."""
+        rows = self._finalize_rows(events_df, extracted_at)
+        snap = self._next_snapshot("append")
+        new_files = self._write_data(rows, snap["version"])
+        snap["files"] = self.snapshot["files"] + new_files
+        self._commit(snap)
+        return snap["version"]
+
+    def overwrite(self, events_df: DataFrame, extracted_at: datetime | None = None) -> int:
+        """Full replace — the reference's tmp-table + swap (T7,
+        `BigQuerySqlGenerator.java:580-589`) collapses to one atomic snapshot
+        commit here."""
+        rows = self._finalize_rows(events_df, extracted_at)
+        snap = self._next_snapshot("overwrite")
+        snap["files"] = self._write_data(rows, snap["version"])
+        self._commit(snap)
+        return snap["version"]
+
+    # -- merge (destination mode append_dedup: upsert + CDC delete) ---------
+
+    def merge(
+        self,
+        events_df: DataFrame,
+        batch_id: int | None = None,
+        query_id: str = "default",
+        extracted_at: datetime | None = None,
+        assume_reduced: bool = False,
+        lineage: list[dict[str, Any]] | None = None,
+        validate_pk: bool = True,
+    ) -> MergeResult:
+        """Apply a batch of CDC events (payload + lsn + op [+ _ab_cdc_*]).
+
+        Pipeline: validate pk → [reduce to 1 row/key] → prune to touched
+        buckets → union with touched target rows → max_by-reduce per key
+        (delete wins ties) → rewrite touched buckets → atomic commit
+        (carrying over untouched files + recording batch_id for
+        exactly-once replay skip)."""
+        if batch_id is not None and batch_id <= self.last_committed_batch(query_id):
+            return MergeResult(version=None, skipped=True)
+        if validate_pk:
+            validate_primary_keys(events_df, self.primary_key)
+
+        src = events_df
+        if not assume_reduced:
+            src = latest_by_reduce(
+                src, self.primary_key, order_col="lsn", delete_col=None
+            )
+        rows = self._finalize_rows(src, extracted_at)
+
+        touched = [
+            r["b"]
+            for r in rows.select(self.bucket_expr(rows).alias("b")).distinct().collect()
+        ]
+        touched_set = set(touched)
+        carried = [f for f in self.snapshot["files"] if f["bucket"] not in touched_set]
+        target_files = [f for f in self.snapshot["files"] if f["bucket"] in touched_set]
+        tgt = self._read_files(target_files)
+
+        pk = self.primary_key
+        order = F.struct(
+            F.col("_lsn").alias("o"),
+            F.coalesce(F.col("_deleted").cast("int"), F.lit(0)).alias("d"),
+        )
+        cols = rows.columns
+        payload_struct = F.struct(*[F.col(c) for c in cols])
+        merged = (
+            tgt.unionByName(rows)
+            .groupBy(*pk)
+            .agg(F.max_by(payload_struct, order).alias("_row"))
+            .select(*[F.col(f"_row.{c}").alias(c) for c in cols])
+        )
+
+        snap = self._next_snapshot("merge")
+        new_files = self._write_data(merged, snap["version"])
+        snap["files"] = carried + new_files
+        if batch_id is not None:
+            snap["applied"] = {**self.snapshot["applied"], query_id: batch_id}
+        if lineage is not None:
+            snap["lineage"] = lineage
+        self._commit(snap)
+        return MergeResult(
+            version=snap["version"],
+            touched_buckets=sorted(touched),
+            carried_files=len(carried),
+            written_files=len(new_files),
+        )
+
+    # ------------------------------------------------------- schema evolve
+
+    def evolve_schema(self, new_payload: T.StructType) -> int:
+        """Add columns / widen types (E1-E2).  Drops and narrowings raise
+        SchemaEvolutionError — handle those via soft_reset (T8)."""
+        current = self.schema()
+        cur_fields = {f.name: f for f in current.fields}
+        new_physical = with_meta_columns(new_payload)
+        for name, fld in cur_fields.items():
+            if name.startswith("_"):
+                continue
+            newf = next((f for f in new_physical.fields if f.name == name), None)
+            if newf is None:
+                raise SchemaEvolutionError(f"column `{name}` dropped — use soft_reset")
+            if newf.dataType != fld.dataType and not _is_widening(
+                fld.dataType, newf.dataType
+            ):
+                raise SchemaEvolutionError(
+                    f"column `{name}`: {fld.dataType.simpleString()} → "
+                    f"{newf.dataType.simpleString()} is not a widening — use soft_reset"
+                )
+        sid = max(int(k) for k in self.snapshot["schemas"]) + 1
+        snap = self._next_snapshot("evolve-schema")
+        snap["schemas"][str(sid)] = json.loads(new_physical.json())
+        snap["current_schema_id"] = sid
+        snap["payload_columns"] = [f.name for f in new_payload.fields]
+        self._commit(snap)
+        return snap["version"]
+
+    def soft_reset(self, new_payload: T.StructType, rename_map: dict[str, str] | None = None) -> int:
+        """Incompatible change: rebuild the table under the new schema from
+        current rows (incl. tombstones) — the T8 soft-reset analog
+        (`BigQuerySqlGenerator.java:322-335`)."""
+        rows = self.read(include_deleted=True, include_meta=True)
+        for old, new in (rename_map or {}).items():
+            rows = rows.withColumnRenamed(old, new)
+        sid = max(int(k) for k in self.snapshot["schemas"]) + 1
+        new_physical = with_meta_columns(new_payload)
+        snap = self._next_snapshot("soft-reset")
+        snap["schemas"][str(sid)] = json.loads(new_physical.json())
+        snap["current_schema_id"] = sid
+        snap["payload_columns"] = [f.name for f in new_payload.fields]
+        self.snapshot = {**self.snapshot, **snap, "files": self.snapshot["files"]}
+        aligned = self._align(rows, new_physical)
+        snap["files"] = self._write_data(aligned, snap["version"])
+        self._commit(snap)
+        return snap["version"]
+
+    # ---------------------------------------------------------- maintenance
+
+    def compact(self, min_files_per_bucket: int = 2) -> int | None:
+        """Rewrite buckets fragmented across > min_files_per_bucket files —
+        the `rewriteDataFiles` analog (`IcebergConsumer.java:210-224`)."""
+        by_bucket: dict[int, list[dict[str, Any]]] = {}
+        for fl in self.snapshot["files"]:
+            by_bucket.setdefault(fl["bucket"], []).append(fl)
+        to_rewrite = {b for b, fs in by_bucket.items() if len(fs) > min_files_per_bucket}
+        if not to_rewrite:
+            return None
+        keep = [f for f in self.snapshot["files"] if f["bucket"] not in to_rewrite]
+        rewrite = [f for f in self.snapshot["files"] if f["bucket"] in to_rewrite]
+        rows = self._read_files(rewrite)
+        snap = self._next_snapshot("compact")
+        snap["files"] = keep + self._write_data(rows, snap["version"])
+        self._commit(snap)
+        return snap["version"]
+
+    def gc_tombstones(self, lsn_watermark: int) -> int:
+        """Physically drop tombstones with _lsn < watermark (safe once every
+        source partition has passed the watermark — no staler update can
+        arrive).  Rewrites only buckets that contain old tombstones."""
+        all_rows = self.read(include_deleted=True, include_meta=True)
+        affected = (
+            all_rows.filter(
+                F.col("_deleted") & (F.col("_lsn") < F.lit(lsn_watermark))
+            )
+            .select(self.bucket_expr(all_rows).alias("b"))
+            .distinct()
+            .collect()
+        )
+        buckets = {r["b"] for r in affected}
+        if not buckets:
+            return self.version
+        keep = [f for f in self.snapshot["files"] if f["bucket"] not in buckets]
+        rewrite = [f for f in self.snapshot["files"] if f["bucket"] in buckets]
+        rows = self._read_files(rewrite).filter(
+            ~(F.col("_deleted") & (F.col("_lsn") < F.lit(lsn_watermark)))
+        )
+        snap = self._next_snapshot("gc-tombstones")
+        snap["files"] = keep + self._write_data(rows, snap["version"])
+        self._commit(snap)
+        return snap["version"]

@@ -1,0 +1,136 @@
+"""Latest-per-key reduction, primary-key validation, salting — the upsert
+core (SURVEY.md §2.4).
+
+Reference semantics reproduced here:
+  T1 validatePrimaryKeys — fail the sync if any new row has a NULL pk part
+     (`BigQuerySqlGenerator.java:391-416`).
+  T3 dedupFinalTable — keep row_number() OVER (PARTITION BY pk ORDER BY
+     cursor DESC NULLS LAST, extracted_at DESC) == 1
+     (`BigQuerySqlGenerator.java:486-511`).
+  T5 cdcDeletes — a delete whose cursor is the max for its key removes the
+     key; ties between a delete and a non-delete resolve to the delete
+     (delete-wins, `BigQuerySqlGenerator.java:514-548`).
+
+Scale notes (100 TB / 1000 executors):
+  * ``latest_by_reduce`` is the hot path: groupBy + max_by is an algebraic
+    aggregate, so Spark performs map-side partial aggregation — each task
+    collapses its local rows per key to ONE row before the shuffle.  A hot
+    key with 10^7 updates ships ~num_tasks rows, not 10^7.  This is the
+    "reduce input to 1 row/key before MERGE" pattern (SURVEY.md §4).
+  * ``latest_by_window`` is the reference-faithful form (row_number): it
+    must shuffle and sort EVERY row of a key into one partition — a hot key
+    serializes.  Provided for parity testing; don't use it on raw streams.
+  * ``salted_latest`` shows the explicit two-stage salted repartition the
+    north rule asks for: stage 1 reduces (key, salt) groups, stage 2 reduces
+    keys — bounding any single reducer's input to ~rows/salt_buckets even
+    for operations without partial aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+class NullPrimaryKeyError(ValueError):
+    """Raised when a batch contains rows with NULL primary-key parts (T1)."""
+
+
+def validate_primary_keys(df: DataFrame, keys: Sequence[str]) -> None:
+    """Fail fast if any row has a NULL in any pk column
+    (`BigQuerySqlGenerator.java:391-416`).  Uses limit(1) so the scan stops
+    at the first offending row instead of counting all of them."""
+    cond = None
+    for k in keys:
+        c = F.col(k).isNull()
+        cond = c if cond is None else (cond | c)
+    bad = df.filter(cond).select(*keys).limit(1).collect()
+    if bad:
+        raise NullPrimaryKeyError(
+            f"null value in primary key column(s) {list(keys)}: {bad[0].asDict()}"
+        )
+
+
+def _order_struct(order_col: str, delete_col: str | None) -> F.Column:
+    """Ordering key: (cursor, is_delete) — delete wins ties at equal cursor,
+    matching T5 (deletes sourced from raw beat same-cursor upserts)."""
+    if delete_col is None:
+        return F.struct(F.col(order_col).alias("o"), F.lit(0).alias("d"))
+    return F.struct(
+        F.col(order_col).alias("o"),
+        F.coalesce(F.col(delete_col).cast("int"), F.lit(0)).alias("d"),
+    )
+
+
+def latest_by_reduce(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str = "lsn",
+    delete_col: str | None = None,
+) -> DataFrame:
+    """One row per key = the row with the greatest (order_col, is_delete).
+
+    groupBy + max_by ⇒ map-side combine ⇒ hot keys don't serialize a
+    shuffle partition.  Output columns identical to input."""
+    cols = df.columns
+    payload = F.struct(*[F.col(c) for c in cols])
+    reduced = df.groupBy(*keys).agg(
+        F.max_by(payload, _order_struct(order_col, delete_col)).alias("_row")
+    )
+    return reduced.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
+
+
+def latest_by_window(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str = "lsn",
+    extracted_at_col: str | None = None,
+) -> DataFrame:
+    """Reference-faithful T3: row_number() == 1 over
+    PARTITION BY pk ORDER BY cursor DESC NULLS LAST[, extracted_at DESC]
+    (`BigQuerySqlGenerator.java:500-510`).  NULL cursor sorts oldest (E4)."""
+    order = [F.desc_nulls_last(order_col)]
+    if extracted_at_col is not None:
+        order.append(F.desc(extracted_at_col))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def salted_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str = "lsn",
+    delete_col: str | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Explicit two-stage salted reduction for hot keys.
+
+    Stage 1: group by (keys..., salt = hash(order_col) % salt_buckets) —
+    a key with S× the median volume spreads across salt_buckets reducers.
+    Stage 2: group the ≤ salt_buckets survivors per key.  Equivalent result
+    to ``latest_by_reduce``; used when a downstream op lacks partial
+    aggregation (and as the north-rule's explicit salting evidence)."""
+    cols = df.columns
+    payload = F.struct(*[F.col(c) for c in cols])
+    order = _order_struct(order_col, delete_col)
+    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets)).alias("_salt")
+    stage1 = (
+        df.withColumn("_salt", salt)
+        .repartition(*[F.col(k) for k in keys], F.col("_salt"))
+        .groupBy(*keys, "_salt")
+        .agg(F.max_by(payload, order).alias("_row"), F.max(order).alias("_ord"))
+    )
+    stage2 = stage1.groupBy(*keys).agg(
+        F.max_by(F.col("_row"), F.col("_ord")).alias("_row")
+    )
+    return stage2.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
+
+
+def drop_tombstones(df: DataFrame, delete_col: str = "_deleted") -> DataFrame:
+    """Final-table user view: tombstoned keys are absent (T5 applied)."""
+    return df.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
