@@ -210,7 +210,9 @@ class LakeTable:
         have = set(df.columns)
         for fld in target.fields:
             if fld.name in have:
-                cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
+                # try_cast = SAFE_CAST under ANSI mode: schema mismatch must
+                # never fail replication (`airbyte-protocol.md:431-442`)
+                cols.append(F.col(fld.name).try_cast(fld.dataType).alias(fld.name))
             else:
                 cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
         return df.select(*cols)

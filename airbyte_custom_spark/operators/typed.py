@@ -47,7 +47,9 @@ def project_and_cast(
             out_cols.append(F.lit(None).cast(field.dataType).alias(name))
             continue
         raw = F.col(name)
-        typed = raw.cast(field.dataType)
+        # try_cast = SAFE_CAST: NULL on failure even under ANSI mode
+        # (Spark 4 default), matching BigQuery SAFE_CAST in the reference
+        typed = raw.try_cast(field.dataType)
         out_cols.append(typed.alias(name))
         if capture_errors:
             err_entries.append(
@@ -57,11 +59,17 @@ def project_and_cast(
                 )
             )
     passthrough = [c for c in df.columns if c not in {f.name for f in target.fields}]
-    out = df.select(*out_cols, *[F.col(c) for c in passthrough])
+    select_list = [*out_cols, *[F.col(c) for c in passthrough]]
     if capture_errors:
-        errors = F.array_compact(F.array(*err_entries)) if err_entries else F.array()
-        out = out.withColumn(meta_col, F.struct(errors.alias("errors")))
-    return out
+        # must be computed in the SAME select — after projection, the raw
+        # (pre-cast) values are gone
+        errors = (
+            F.array_compact(F.array(*err_entries))
+            if err_entries
+            else F.array().cast(T.ArrayType(T.StringType()))
+        )
+        select_list.append(F.struct(errors.alias("errors")).alias(meta_col))
+    return df.select(*select_list)
 
 
 def inject_cdc_metadata(
