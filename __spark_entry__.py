@@ -248,6 +248,160 @@ def q_raw_table_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + text stats (integer outputs → exact oracle parity)."""
+    from airbyte_custom_spark.functions.text import bpe_ish_token_count, token_count
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    stop = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda x: F.lower(x).isin(stop))).alias("n_stopwords"),
+        F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).alias("n_punct"),
+    )
+
+
+def q_doc_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + composite quality score (rows-only check;
+    float formula — pytest covers semantics)."""
+    from airbyte_custom_spark.functions.text import lang_id, quality_score
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return d.select(
+        "doc_id", lang_id("text").alias("lang"), quality_score("text").alias("quality")
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprints (rows-only; hash impl is
+    engine-specific, pytest asserts robustness properties)."""
+    from airbyte_custom_spark.functions.text import doc_fingerprint
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return d.select(
+        "doc_id",
+        F.size(doc_fingerprint("text")).alias("n_fingerprints"),
+    )
+
+
+_PLANT_DUPS_SPARK = None  # documents ∪ shifted copies of every 100th doc
+
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dup = d.filter(F.col("doc_id") % 100 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    return d.unionByName(dup)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized sha256 groups over documents with
+    deterministically planted duplicates (same derivation in the oracle)."""
+    from airbyte_custom_spark.functions.dedup import exact_duplicates
+
+    return exact_duplicates(_docs_with_planted_dups(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only: signature hashes are
+    engine-specific; pytest proves exact dups are always found and the
+    reported jaccard is exact)."""
+    from airbyte_custom_spark.functions.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _docs_with_planted_dups(spark, sf_dir), jaccard_threshold=0.9
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.9 over planted dups — full SQL oracle
+    (inverted-index self-join in both engines)."""
+    from airbyte_custom_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs_with_planted_dups(spark, sf_dir), threshold=0.9, max_shingle_freq=10_000
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only; pytest covers hamming properties)."""
+    from airbyte_custom_spark.functions.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs_with_planted_dups(spark, sf_dir), max_hamming=3)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (k=5) for the first 5 vectors as queries —
+    exact baseline, DuckDB list_cosine_similarity oracle."""
+    from airbyte_custom_spark.functions.embeddings import brute_force_topk
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(e, queries, k=5)
+    # rounding to 3dp: float32 accumulation differs ~1e-6 across engines
+    return out.select(
+        "query_id", "vec_id", F.round(F.col("cosine"), 3).alias("cosine3"), "rank"
+    )
+
+
+def q_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (rows-only; pytest measures recall vs exact)."""
+    from airbyte_custom_spark.functions.embeddings import lsh_bucket_topk
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(e.select("embedding").first()[0])
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_bucket_topk(e, queries, dim=dim, k=5)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over planted duplicate vectors
+    (rows-only; pytest proves planted dups found)."""
+    from airbyte_custom_spark.functions.embeddings import embedding_near_dups
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dup = e.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 10_000_000
+    )
+    both = e.unionByName(dup)
+    dim = len(e.select("embedding").first()[0])
+    return embedding_near_dups(both, dim=dim, cosine_threshold=0.999)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → mapInPandas feature extraction (deterministic
+    fake decoder; real decode stubbed — no codec libs in image)."""
+    from airbyte_custom_spark.functions.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=256)
+    out = extract_features(media, decoder="fake")
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.aggregate(F.col("features"), F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "feature_sum"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -271,6 +425,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_normalization": q_name_normalization,
         "validate_pk_counts": q_validate_pk_counts,
         "raw_table_envelope": q_raw_table_envelope,
+        # training-data pipeline ops
+        "doc_text_stats": q_doc_text_stats,
+        "doc_quality_lang": q_doc_quality_lang,
+        "doc_fingerprints": q_doc_fingerprints,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh_ann": q_embedding_lsh_ann,
+        "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -341,4 +507,98 @@ def oracle_sql() -> dict[str, str]:
                    'transcripts' AS stream, lsn, op
             FROM ev
         """,
+        "doc_text_stats": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
+                       AS n_bpe_tokens,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> lower(x) IN ('the','and','of','to','a','in',
+                                              'is','it','that','for')))
+                       AS BIGINT) AS n_stopwords,
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                       AS BIGINT) AS n_punct
+            FROM documents
+        """,
+        "dedup_exact": _DUP_DOCS_SQL
+        + r"""
+            , hashed AS (
+              SELECT doc_id,
+                     sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+              FROM all_docs
+            ),
+            grp AS (
+              SELECT h, min(doc_id) AS canonical_id, count(*) AS group_size
+              FROM hashed GROUP BY h
+            )
+            SELECT hashed.doc_id, canonical_id, group_size
+            FROM hashed JOIN grp USING (h)
+            WHERE group_size > 1
+        """,
+        "dedup_ngram_jaccard": _DUP_DOCS_SQL
+        + r"""
+            , tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+              FROM all_docs
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(w) >= 3 THEN
+                         list_transform(generate_series(1, len(w) - 2),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                       ELSE [] END) AS shingles
+              FROM tok
+            ),
+            szd AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+                    WHERE len(shingles) > 0),
+            inv AS (SELECT doc_id, n, unnest(shingles) AS s FROM szd),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.n AS n_a, b.n AS n_b, count(*) AS cnt
+              FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            ),
+            jac AS (
+              SELECT id_a, id_b,
+                     round(cnt * 1.0 / (n_a + n_b - cnt), 6) AS jaccard
+              FROM shared
+            )
+            SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.9
+        """,
+        "embedding_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(e.embedding, q.qv), 6) AS c6
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, round(c6, 3) AS cosine3,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY c6 DESC, vec_id ASC
+                     ) AS INT) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, cosine3, rank FROM ranked WHERE rank <= 5
+        """,
     }
+
+
+# documents ∪ shifted copies of every 100th doc — mirrors _docs_with_planted_dups
+_DUP_DOCS_SQL = """
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000 AS doc_id, text FROM documents
+              WHERE doc_id % 100 = 0
+            )
+"""

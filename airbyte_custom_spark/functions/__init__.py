@@ -1,0 +1,26 @@
+from airbyte_custom_spark.functions.text import (  # noqa: F401
+    tokens,
+    token_count,
+    bpe_ish_token_count,
+    stopword_ratio,
+    punct_ratio,
+    mean_word_len,
+    quality_score,
+    lang_id,
+    word_shingles,
+    doc_fingerprint,
+)
+from airbyte_custom_spark.functions.dedup import (  # noqa: F401
+    exact_duplicates,
+    minhash_signature,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dups,
+)
+from airbyte_custom_spark.functions.embeddings import (  # noqa: F401
+    cosine_similarity,
+    brute_force_topk,
+    lsh_bucket_topk,
+    embedding_near_dups,
+)

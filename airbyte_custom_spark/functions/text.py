@@ -1,0 +1,127 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything here is built-in column expressions (`pyspark.sql.functions`
+higher-order array functions) — whole-stage-codegen'd JVM execution, no
+Python in the row path.  At 100 TB these run as pure map stages: no shuffle,
+trivially scale-linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# small, deterministic stopword lists for the language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: alpha runs, digits, and punctuation each
+    count as a token (a cheap proxy for subword tokenizers)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    toks = tokens(col)
+    hits = F.filter(toks, lambda x: F.lower(x).isin(STOPWORDS[lang]))
+    return F.when(F.size(toks) > 0, F.size(hits) / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    p = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    sane punctuation + sane word length.  Deterministic, tunable weights."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 10_000), 1.0).otherwise(
+        F.when(n_tok > 0, 0.3).otherwise(0.0)
+    )
+    sw = stopword_ratio(c)
+    sw_ok = F.when((sw > 0.01) & (sw < 0.6), 1.0).otherwise(0.2)
+    pr = punct_ratio(c)
+    punct_ok = F.when(pr < 0.2, 1.0).otherwise(0.2)
+    mwl = mean_word_len(c)
+    wl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.2)
+    return F.round(
+        0.4 * len_ok + 0.3 * sw_ok + 0.15 * punct_ok + 0.15 * wl_ok, 6
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """n-gram-free language heuristic: argmax of per-language stopword hit
+    counts; 'und' (undetermined) when nothing hits."""
+    toks = tokens(col)
+
+    # NB: factory, not `lambda x, sw=sw`: pyspark passes the array INDEX as
+    # a second lambda arg, which would silently override the default
+    def hit(sw: list[str]):
+        return lambda x: F.lower(x).isin(sw)
+
+    counts = {
+        lang: F.size(F.filter(toks, hit(sw))) for lang, sw in STOPWORDS.items()
+    }
+    best = F.greatest(*counts.values())
+    out = F.lit("und")
+    # reverse order so earlier languages win ties (deterministic)
+    for lang in reversed(list(counts)):
+        out = F.when((counts[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams (the MinHash/Jaccard input)."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    short = F.when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.array_distinct(F.when(F.size(toks) >= k, grams).otherwise(short))
+
+
+def doc_fingerprint(col: Column | str, window: int = 4) -> Column:
+    """Winnowing-style document fingerprint: hash every word shingle, then
+    keep the minimum hash of each sliding window — robust to small edits,
+    computed entirely with JVM array expressions."""
+    hashes = F.transform(word_shingles(col, 3), lambda s: F.xxhash64(s))
+    n = F.size(hashes)
+    mins = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+        lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+    )
+    picked = F.when(n >= window, mins).otherwise(
+        F.when(n > 0, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    )
+    return F.array_distinct(picked)

@@ -63,6 +63,7 @@ from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from typing import Any
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from airbyte_custom_spark.operators.dedupe import (
@@ -122,8 +123,15 @@ class LakeTable:
         primary_key: tuple[str, ...] = ("conv_id", "turn_idx"),
         bucket_keys: tuple[str, ...] = ("conv_id",),
         num_buckets: int = 16,
+        files_per_bucket: int = 1,
     ) -> "LakeTable":
-        """Create an empty table. Physical schema = payload + meta columns."""
+        """Create an empty table. Physical schema = payload + meta columns.
+
+        ``files_per_bucket`` > 1 splits each bucket's commit output across
+        that many files via a pk-hash write salt: smooths the write stage
+        when bucket→reducer hash collisions (or a hot bucket) would
+        otherwise straggle one task.  Read path is unaffected (the manifest
+        lists every file per bucket)."""
         os.makedirs(os.path.join(path, _META_DIR), exist_ok=False)
         physical = with_meta_columns(payload_schema)
         snapshot = {
@@ -134,6 +142,7 @@ class LakeTable:
             "current_schema_id": 0,
             "payload_columns": [f.name for f in payload_schema.fields],
             "num_buckets": num_buckets,
+            "files_per_bucket": max(1, files_per_bucket),
             "bucket_keys": list(bucket_keys),
             "primary_key": list(primary_key),
             "files": [],
@@ -180,6 +189,37 @@ class LakeTable:
 
     def last_committed_batch(self, query_id: str) -> int:
         return int(self.snapshot["applied"].get(query_id, -1))
+
+    def stats(self) -> dict[str, Any]:
+        """Table-size estimate from manifests + parquet footers only (no
+        Spark job) — the pre-sync size estimate the reference computes via
+        `pg_relation_size` (A2, `AbstractDbSource.java:248-262`)."""
+        import pyarrow.parquet as pq
+
+        files = self.snapshot["files"]
+        rows = 0
+        bytes_ = 0
+        by_bucket: dict[int, int] = {}
+        for fl in files:
+            full = os.path.join(self.path, fl["path"])
+            rows += pq.ParquetFile(full).metadata.num_rows
+            bytes_ += os.path.getsize(full)
+            by_bucket[fl["bucket"]] = by_bucket.get(fl["bucket"], 0) + 1
+        return {
+            "version": self.version,
+            "files": len(files),
+            "rows": rows,
+            "bytes": bytes_,
+            "buckets": len(by_bucket),
+            "max_files_per_bucket": max(by_bucket.values(), default=0),
+        }
+
+    def applied_lsn_high_watermark(self) -> int | None:
+        """Highest lsn recorded in the last commit's lineage (None if the
+        table has no lineage yet)."""
+        lineage = self.snapshot.get("lineage") or []
+        highs = [p["max_lsn"] for p in lineage if p.get("max_lsn") is not None]
+        return max(highs) if highs else None
 
     def history(self) -> list[dict[str, Any]]:
         out = []
@@ -289,13 +329,23 @@ class LakeTable:
         data/v<version>/, return file manifest entries."""
         commit_dir = os.path.join(self.path, _DATA_DIR, f"v{version}")
         out = df.withColumn("bucket", self.bucket_expr(df))
-        # co-locate each bucket into one task → one file per non-empty bucket
-        (
-            out.repartition(self.num_buckets, "bucket")
-            .write.mode("errorifexists")
-            .partitionBy("bucket")
-            .parquet(commit_dir)
-        )
+        fpb = int(self.snapshot.get("files_per_bucket", 1))
+        if fpb > 1:
+            # pk-hash write salt: (bucket, salt) spreads a bucket across fpb
+            # writer tasks → fpb files per bucket, no straggler on hash
+            # collisions or hot buckets
+            salt = F.pmod(
+                F.xxhash64(*[F.col(k) for k in self.primary_key]), F.lit(fpb)
+            )
+            out = (
+                out.withColumn("_wsalt", salt)
+                .repartition(self.num_buckets * fpb, "bucket", "_wsalt")
+                .drop("_wsalt")
+            )
+        else:
+            # co-locate each bucket into one task → one file per bucket
+            out = out.repartition(self.num_buckets, "bucket")
+        out.write.mode("errorifexists").partitionBy("bucket").parquet(commit_dir)
         entries: list[dict[str, Any]] = []
         sid = self.snapshot["current_schema_id"]
         for root, _dirs, names in os.walk(commit_dir):
@@ -334,38 +384,59 @@ class LakeTable:
         snap.update(overrides)
         return snap
 
-    def _finalize_rows(self, df: DataFrame, extracted_at: datetime | None) -> DataFrame:
+    def _finalize_rows(
+        self,
+        df: DataFrame,
+        extracted_at: datetime | None,
+        defer_ids: bool = False,
+    ) -> DataFrame:
         """CDC-event rows (payload + lsn + op) → physical rows (payload +
-        _lsn/_deleted/_raw_id/_extracted_at/_meta)."""
-        ex = extracted_at or datetime.now(timezone.utc)
-        pk = self.primary_key
-        deleted = (
+        _lsn/_deleted/_raw_id/_extracted_at/_meta).
+
+        ``defer_ids`` leaves _raw_id/_extracted_at NULL so the 64-byte hash
+        string isn't shuffled for every event — merge computes them after
+        the reduce, only for surviving rows (see ``_fill_ids``)."""
+        out = df.withColumn("_lsn", F.col("lsn").cast("long")).withColumn(
+            "_deleted",
             (F.col("op") == "d") | F.col("_ab_cdc_deleted_at").isNotNull()
             if "_ab_cdc_deleted_at" in df.columns
-            else (F.col("op") == "d")
+            else (F.col("op") == "d"),
         )
-        out = (
-            df.withColumn("_lsn", F.col("lsn").cast("long"))
-            .withColumn("_deleted", deleted)
-            .withColumn(
-                "_raw_id",
-                F.sha2(
-                    F.concat_ws(
-                        "\x1f",
-                        *[F.col(k).cast("string") for k in pk],
-                        F.col("lsn").cast("string"),
-                    ),
-                    256,
-                ),
-            )
-            .withColumn("_extracted_at", F.lit(ex))
-        )
+        if not defer_ids:
+            out = self._fill_ids_cols(out, extracted_at)
         if "_meta" not in out.columns:
             out = out.withColumn(
                 "_meta",
                 F.struct(F.lit(None).cast(T.ArrayType(T.StringType())).alias("errors")),
             )
         return self._align(out, self.schema())
+
+    def _fill_ids_cols(self, df: DataFrame, extracted_at: datetime | None) -> DataFrame:
+        """Compute _raw_id (sha256 of pk + lsn — deterministic, replay-
+        stable, `JavaBaseConstants.java:29-39` analog) and _extracted_at,
+        preserving already-populated values (rows read back from the
+        table keep their original extraction metadata)."""
+        ex = extracted_at or datetime.now(timezone.utc)
+        rid = F.sha2(
+            F.concat_ws(
+                "\x1f",
+                *[F.col(k).cast("string") for k in self.primary_key],
+                F.col("_lsn").cast("string"),
+            ),
+            256,
+        )
+        out = df
+        if "_raw_id" in df.columns:
+            out = out.withColumn("_raw_id", F.coalesce(F.col("_raw_id"), rid))
+        else:
+            out = out.withColumn("_raw_id", rid)
+        if "_extracted_at" in df.columns:
+            out = out.withColumn(
+                "_extracted_at", F.coalesce(F.col("_extracted_at"), F.lit(ex))
+            )
+        else:
+            out = out.withColumn("_extracted_at", F.lit(ex))
+        return out
 
     # -- append / overwrite (destination_sync_mode append | overwrite) ------
 
@@ -399,6 +470,7 @@ class LakeTable:
         assume_reduced: bool = False,
         lineage: list[dict[str, Any]] | None = None,
         validate_pk: bool = True,
+        touched_buckets: list[int] | None = None,
     ) -> MergeResult:
         """Apply a batch of CDC events (payload + lsn + op [+ _ab_cdc_*]).
 
@@ -417,12 +489,25 @@ class LakeTable:
             src = latest_by_reduce(
                 src, self.primary_key, order_col="lsn", delete_col=None
             )
-        rows = self._finalize_rows(src, extracted_at)
+        rows = self._finalize_rows(src, extracted_at, defer_ids=True)
 
-        touched = [
-            r["b"]
-            for r in rows.select(self.bucket_expr(rows).alias("b")).distinct().collect()
-        ]
+        if touched_buckets is not None:
+            # caller computed them from an already-cached batch (pipeline
+            # does) — avoids materializing the reduce twice
+            touched = list(touched_buckets)
+            cached = None
+        else:
+            # DISK_ONLY: the deserialized in-memory row cache reads SLOWER
+            # than recomputing the plan and serializes under many cores;
+            # serialized disk blocks read back in sub-second (measured)
+            cached = rows.persist(StorageLevel.DISK_ONLY)
+            rows = cached
+            touched = [
+                r["b"]
+                for r in rows.select(self.bucket_expr(rows).alias("b"))
+                .distinct()
+                .collect()
+            ]
         touched_set = set(touched)
         carried = [f for f in self.snapshot["files"] if f["bucket"] not in touched_set]
         target_files = [f for f in self.snapshot["files"] if f["bucket"] in touched_set]
@@ -441,9 +526,18 @@ class LakeTable:
             .agg(F.max_by(payload_struct, order).alias("_row"))
             .select(*[F.col(f"_row.{c}").alias(c) for c in cols])
         )
+        # ids deferred past the reduce: only surviving rows get the sha256
+        # raw id / extraction timestamp (target winners keep their stored
+        # values via coalesce) — keeps 64-byte hash strings out of the
+        # groupBy shuffle entirely
+        merged = self._fill_ids_cols(merged, extracted_at)
 
         snap = self._next_snapshot("merge")
-        new_files = self._write_data(merged, snap["version"])
+        try:
+            new_files = self._write_data(merged, snap["version"])
+        finally:
+            if cached is not None:
+                cached.unpersist()
         snap["files"] = carried + new_files
         if batch_id is not None:
             snap["applied"] = {**self.snapshot["applied"], query_id: batch_id}

@@ -1,0 +1,43 @@
+"""Physical-plan inspection helpers — used by tests to assert the plans we
+actually want (pushdown reached the scan, codegen spans are wide, joins
+chose the intended strategy), not just plans that happen to return the
+right rows (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+def assert_pushed_filters(df: DataFrame, *needles: str) -> None:
+    """Assert each needle appears in the scan's PushedFilters list —
+    i.e. Catalyst pushed the predicate into the parquet reader."""
+    plan = explain_str(df)
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    pushed = ", ".join(m)
+    for needle in needles:
+        assert needle.lower() in pushed.lower(), (
+            f"filter `{needle}` not pushed to scan; PushedFilters=[{pushed}]"
+        )
+
+
+def wholestage_spans(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans in the physical plan (fewer, wider
+    spans = more of the plan runs as generated JVM code)."""
+    return len(re.findall(r"WholeStageCodegen", explain_str(df, "simple")))
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Column names in the scan's ReadSchema (column-pruning check)."""
+    plan = explain_str(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    if not m:
+        return []
+    return [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]

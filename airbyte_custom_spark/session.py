@@ -35,6 +35,14 @@ def get_spark(
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
         shuffle_partitions = cpus if inner in ("", "*") else int(inner)
 
+    # Shuffle/spill dir: default to tmpfs when present.  local[N] funnels
+    # every shuffle through ONE host disk, which saturates long before 32
+    # cores do and masks compute scaling; a real cluster has per-node disks
+    # that scale with executor count.  Override with SPARK_GRAFT_LOCAL_DIR.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -44,10 +52,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # moderate heap on purpose: a 48g ceiling makes the JVM grow the
+        # heap instead of collecting — kernel page-zeroing storms (90%+ sys
+        # time) and wildly erratic batch times at high core counts.  12g
+        # keeps G1 collecting; shuffles spill to local dir (tmpfs) fine.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -23,6 +23,7 @@ filters events beyond a fixed LSN (`DebeziumRecordIterator.java:112-141`).
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -31,16 +32,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from airbyte_custom_spark.config import IngestConfig
 from airbyte_custom_spark.lake.table import LakeTable
 from airbyte_custom_spark.operators.dedupe import (
-    latest_by_reduce,
+    NullPrimaryKeyError,
     salted_latest,
-    validate_primary_keys,
 )
 from airbyte_custom_spark.schema import CDC_EVENT_SCHEMA
-from airbyte_custom_spark.streaming.metrics import (
-    BatchMetrics,
-    BatchMetricsLog,
-    lineage_stats,
-)
+from airbyte_custom_spark.streaming.metrics import BatchMetrics, BatchMetricsLog
+
+
+class StaleOffsetError(RuntimeError):
+    """Saved offset is no longer covered by source retention (C7)."""
 
 
 class CdcIngestJob:
@@ -73,6 +73,7 @@ class CdcIngestJob:
         # test hook: raise after N batches to simulate a crash
         self.fail_after_batches: int | None = None
         self._batches_run = 0
+        self._stream_id: str | None = None
 
     # ------------------------------------------------------------ source
 
@@ -86,6 +87,25 @@ class CdcIngestJob:
             )
         return reader.parquet(self.source_dir)
 
+    def _manifest_query_id(self) -> str:
+        """Manifest key = config.query_id scoped by the streaming query's
+        PERSISTENT id (stored in <checkpoint>/metadata).
+
+        Batch ids are only monotonic within one checkpoint lineage: a fresh
+        checkpoint restarts at batch 0 and may pack different files per
+        batch, so an unscoped manifest would silently SKIP unapplied events.
+        Scoping by the checkpoint's query id makes a fresh checkpoint replay
+        everything instead — safe, because the merge is idempotent for
+        re-applied events (same lsn ⇒ same winner)."""
+        if self._stream_id is None:
+            meta = os.path.join(self.checkpoint_dir, "metadata")
+            try:
+                with open(meta) as f:
+                    self._stream_id = json.load(f)["id"]
+            except (OSError, KeyError, ValueError):
+                self._stream_id = "direct"
+        return f"{self.config.query_id}@{self._stream_id}"
+
     # ------------------------------------------------------- batch apply
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -96,7 +116,7 @@ class CdcIngestJob:
 
         # reload: each batch merges against the latest committed snapshot
         table = LakeTable.load(self.spark, self.table_path)
-        qid = self.config.query_id
+        qid = self._manifest_query_id()
         if batch_id <= table.last_committed_batch(qid):
             self.metrics.record(
                 BatchMetrics(batch_id=batch_id, events=0, seconds=0.0, skipped=True)
@@ -106,35 +126,72 @@ class CdcIngestJob:
         events = batch_df
         if self.target_lsn is not None:
             events = events.filter(F.col("lsn") <= F.lit(self.target_lsn))
-        # validate + lineage + merge each trigger a job over the batch —
-        # cache it so the source files are read once per micro-batch
-        events = events.persist()
-        try:
-            if self.config.validate_pk:
-                validate_primary_keys(events, table.primary_key)
-            lineage = lineage_stats(events) if self.config.record_lineage else None
-            if self.config.salt_buckets > 1:
-                reduced = salted_latest(
-                    events,
-                    table.primary_key,
-                    order_col="lsn",
-                    salt_buckets=self.config.salt_buckets,
-                )
-            else:
-                reduced = latest_by_reduce(events, table.primary_key, order_col="lsn")
 
-            result = table.merge(
-                reduced,
-                batch_id=batch_id,
-                query_id=qid,
-                assume_reduced=True,
-                lineage=lineage,
-                validate_pk=False,  # already validated above on the raw batch
+        # ONE metadata aggregation replaces three separate jobs (validate /
+        # lineage / touched-buckets): group by (source_partition, bucket) —
+        # ≤ partitions × num_buckets rows — then fan the answers out on the
+        # driver.  Map-side combine makes this a single cheap pass.
+        pk_null = F.lit(False)
+        for k in table.primary_key:
+            pk_null = pk_null | F.col(k).isNull()
+        stats = (
+            events.groupBy(
+                F.col("source_partition").alias("sp"),
+                table.bucket_expr(events).alias("b"),
             )
-        finally:
-            events.unpersist()
+            .agg(
+                F.count(F.lit(1)).alias("events"),
+                F.min("lsn").alias("min_lsn"),
+                F.max("lsn").alias("max_lsn"),
+                F.sum(pk_null.cast("int")).alias("null_pk"),
+            )
+            .collect()
+        )
+        if self.config.validate_pk and sum(r["null_pk"] for r in stats) > 0:
+            raise NullPrimaryKeyError(
+                f"batch {batch_id} contains rows with NULL primary key "
+                f"column(s) {table.primary_key}"
+            )
+        touched = sorted({r["b"] for r in stats})
+        lineage = None
+        if self.config.record_lineage:
+            per_part: dict = {}
+            for r in stats:
+                p = per_part.setdefault(
+                    r["sp"], {"source_partition": r["sp"], "events": 0,
+                              "min_lsn": r["min_lsn"], "max_lsn": r["max_lsn"]}
+                )
+                p["events"] += r["events"]
+                p["min_lsn"] = min(p["min_lsn"], r["min_lsn"])
+                p["max_lsn"] = max(p["max_lsn"], r["max_lsn"])
+            lineage = sorted(
+                per_part.values(),
+                key=lambda d: (d["source_partition"] is None, d["source_partition"]),
+            )
+
+        src = events
+        if self.config.salt_buckets > 1:
+            # explicit two-stage salted reduction for pathologically hot keys
+            src = salted_latest(
+                events,
+                table.primary_key,
+                order_col="lsn",
+                salt_buckets=self.config.salt_buckets,
+            )
+        # no pre-reduce otherwise: merge's union+groupBy(max_by) IS the
+        # latest-per-key reduction, with map-side partial aggregation — a
+        # separate reduce would just add a full extra shuffle of the batch
+        result = table.merge(
+            src,
+            batch_id=batch_id,
+            query_id=qid,
+            assume_reduced=True,  # groupBy inside merge dedups regardless
+            lineage=lineage,
+            validate_pk=False,  # validated via the stats aggregation above
+            touched_buckets=touched,
+        )
         elapsed = time.monotonic() - start
-        n = sum(p["events"] for p in lineage) if lineage else -1
+        n = sum(r["events"] for r in stats)
         self.metrics.record(
             BatchMetrics(
                 batch_id=batch_id,
@@ -145,6 +202,33 @@ class CdcIngestJob:
                 touched_buckets=len(result.touched_buckets),
             )
         )
+
+    # ----------------------------------------------------- offset validity
+
+    def check_source_continuity(self) -> None:
+        """C7 offset-validity check (`MySqlDebeziumStateUtil.java:60-102`):
+        before resuming, verify the source still contains the events right
+        after what the table already applied.  If the retained segments
+        start beyond the applied high-watermark + 1 (binlog purged past our
+        offset), replication would silently skip events — fail loudly and
+        demand a re-backfill instead."""
+        table = LakeTable.load(self.spark, self.table_path)
+        applied = table.applied_lsn_high_watermark()
+        if applied is None:
+            return
+        src_min = (
+            self.spark.read.schema(CDC_EVENT_SCHEMA)
+            .parquet(self.source_dir)
+            .agg(F.min("lsn"))
+            .first()[0]
+        )
+        if src_min is not None and src_min > applied + 1:
+            raise StaleOffsetError(
+                f"source retention starts at lsn {src_min} but the table has "
+                f"only applied through {applied} — events "
+                f"[{applied + 1}, {src_min}) are gone; re-backfill required "
+                "(reference behavior: re-snapshot on invalid saved offset)"
+            )
 
     # --------------------------------------------------------------- runs
 

@@ -1,0 +1,62 @@
+"""Plan-shape assertions: pushdown reaches the scan, projections prune
+columns, the merge path avoids per-row Python (SURVEY.md §4)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from airbyte_custom_spark.plans.inspect import (
+    assert_pushed_filters,
+    explain_str,
+    scan_read_schema,
+    wholestage_spans,
+)
+
+
+def test_cursor_filter_pushed_to_parquet(spark, sf_dir):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    q = ev.filter(F.col("event_id") > 500).select("event_id", "user_id")
+    assert_pushed_filters(q, "event_id")
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    q = li.select("l_orderkey", "l_quantity")
+    cols = scan_read_schema(q)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_merge_plan_has_no_python_eval(spark, tmp_path):
+    """The CDC merge pipeline must be pure JVM: no BatchEvalPython /
+    ArrowEvalPython operators anywhere in the physical plan."""
+    from airbyte_custom_spark.lake.table import LakeTable
+    from airbyte_custom_spark.schema import TRANSCRIPT_SCHEMA
+    from airbyte_custom_spark.sources.generator import change_events
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    t.merge(change_events(spark, 2000, n_convs=50), batch_id=0)
+    plan = explain_str(t.read(), "simple")
+    assert "EvalPython" not in plan
+    assert wholestage_spans(t.read()) >= 1
+
+
+def test_generator_is_whole_stage_codegen(spark):
+    from airbyte_custom_spark.sources.generator import change_events
+
+    ev = change_events(spark, 1000)
+    plan = explain_str(ev, "simple")
+    assert "EvalPython" not in plan
+    assert wholestage_spans(ev) >= 1
+
+
+def test_broadcast_join_for_small_queries(spark, sf_dir):
+    """brute_force_topk must broadcast the query side (no shuffle of the
+    big scan side)."""
+    from airbyte_custom_spark.functions.embeddings import brute_force_topk
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = e.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = explain_str(brute_force_topk(e, q, k=3), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -1,0 +1,98 @@
+"""Text analysis + fingerprinting functions over the documents table."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from airbyte_custom_spark.functions.text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    mean_word_len,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    word_shingles,
+)
+
+
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def test_token_count_basic(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("  ",), ("one",)], "text string"
+    )
+    got = [r[0] for r in df.select(token_count("text")).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_bpe_ish_counts_subunits(spark):
+    df = spark.createDataFrame([("hello, world 42!",)], "text string")
+    # hello | , | world | 4 | 2 | !  → 6
+    assert df.select(bpe_ish_token_count("text")).first()[0] == 6
+
+
+def test_ratios_bounded(spark, sf_dir):
+    d = docs(spark, sf_dir).select(
+        stopword_ratio("text").alias("sw"),
+        punct_ratio("text").alias("p"),
+        mean_word_len("text").alias("m"),
+        quality_score("text").alias("q"),
+    )
+    row = d.agg(
+        F.min("sw"), F.max("sw"), F.min("p"), F.max("p"), F.min("q"), F.max("q")
+    ).first()
+    assert 0.0 <= row[0] <= row[1] <= 1.0
+    assert 0.0 <= row[2] <= row[3] <= 1.0
+    assert 0.0 <= row[4] <= row[5] <= 1.0
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and it is happy",),
+            ("el perro y la casa de que en un dia",),
+            ("le chat et les maisons de la ville pour un jour",),
+            ("zzz qqq xxx",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(lang_id("text")).collect()]
+    assert got[0] == "en" and got[1] == "es" and got[2] == "fr" and got[3] == "und"
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], "text string")
+    got = [r[0] for r in df.select(word_shingles("text", 3)).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["a b"]  # shorter than k → whole text
+    assert got[2] == []
+
+
+def test_fingerprint_robust_to_small_edit(spark):
+    # varied words: repeated text collapses to a handful of distinct
+    # shingles and makes jaccard meaninglessly coarse
+    base = " ".join(f"word{i}" for i in range(60))
+    edited = base.replace("word30", "changed", 1)
+    df = spark.createDataFrame([(1, base), (2, edited), (3, "unrelated words only")],
+                               "id long, text string")
+    rows = {r["id"]: set(r["fp"]) for r in df.select("id", doc_fingerprint("text").alias("fp")).collect()}
+    sim_edit = len(rows[1] & rows[2]) / len(rows[1] | rows[2])
+    sim_unrel = len(rows[1] & rows[3]) / len(rows[1] | rows[3])
+    assert sim_edit > 0.5 > sim_unrel
+
+
+def test_all_functions_run_on_documents(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    out = d.select(
+        "doc_id",
+        token_count("text").alias("n_tok"),
+        lang_id("text").alias("lang"),
+        quality_score("text").alias("q"),
+        doc_fingerprint("text").alias("fp"),
+    )
+    assert out.count() == d.count()
+    assert out.filter(F.col("n_tok") <= 0).count() == 0
