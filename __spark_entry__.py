@@ -406,12 +406,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin the session time zone to UTC before running a query: the DuckDB
+    oracle treats naive parquet timestamps as UTC, so NTZ→timestamp casts
+    must interpret wall times the same way regardless of how the caller
+    configured its session."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return q_cdc_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _utc(v) for k, v in _QUERIES.items()}
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = None  # set below
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_flatten_events": q_cdc_flatten_events,
         "cdc_latest_per_key": q_cdc_latest_per_key,
@@ -438,6 +459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
     }
+
+
+_QUERIES = _raw_queries()
 
 
 def oracle_sql() -> dict[str, str]:
