@@ -29,9 +29,12 @@ def assert_pushed_filters(df: DataFrame, *needles: str) -> None:
 
 
 def wholestage_spans(df: DataFrame) -> int:
-    """Number of WholeStageCodegen spans in the physical plan (fewer, wider
-    spans = more of the plan runs as generated JVM code)."""
-    return len(re.findall(r"WholeStageCodegen", explain_str(df, "simple")))
+    """Number of distinct WholeStageCodegen spans in the physical plan
+    (Spark 4 formatted mode labels nodes `[codegen id : n]`; simple mode
+    uses `*(n)` asterisks).  More nodes inside fewer spans = more of the
+    plan runs as generated JVM code."""
+    ids = re.findall(r"codegen id : (\d+)", explain_str(df, "formatted"))
+    return len(set(ids))
 
 
 def scan_read_schema(df: DataFrame) -> list[str]:
