@@ -269,6 +269,23 @@ def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_lang_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stopword hit counts (the lang_id heuristic's inputs) —
+    integer outputs, exact oracle parity."""
+    from airbyte_custom_spark.functions.text import STOPWORDS, tokens
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = tokens("text")
+
+    def hits(sw):
+        return F.size(F.filter(toks, lambda x: F.lower(x).isin(sw))).cast("long")
+
+    return d.select(
+        "doc_id",
+        *[hits(sw).alias(f"hits_{lang}") for lang, sw in STOPWORDS.items()],
+    )
+
+
 def q_doc_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic + composite quality score (rows-only check;
     float formula — pytest covers semantics)."""
@@ -448,6 +465,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_table_envelope": q_raw_table_envelope,
         # training-data pipeline ops
         "doc_text_stats": q_doc_text_stats,
+        "doc_lang_hits": q_doc_lang_hits,
         "doc_quality_lang": q_doc_quality_lang,
         "doc_fingerprints": q_doc_fingerprints,
         "dedup_exact": q_dedup_exact,
@@ -545,6 +563,22 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS n_stopwords,
                    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
                        AS BIGINT) AS n_punct
+            FROM documents
+        """,
+        "doc_lang_hits": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> lower(x) IN ('the','and','of','to','a','in','is',
+                                          'it','that','for'))) AS BIGINT) AS hits_en,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> lower(x) IN ('el','la','de','que','y','en','un',
+                                          'una','los','por'))) AS BIGINT) AS hits_es,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> lower(x) IN ('le','la','de','et','les','des','un',
+                                          'une','que','pour'))) AS BIGINT) AS hits_fr,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> lower(x) IN ('der','die','das','und','ist','ein',
+                                          'eine','nicht','mit','zu'))) AS BIGINT) AS hits_de
             FROM documents
         """,
         "dedup_exact": _DUP_DOCS_SQL
