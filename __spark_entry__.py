@@ -287,19 +287,23 @@ def q_doc_lang_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic + composite quality score (rows-only check;
-    float formula — pytest covers semantics)."""
+    """Language-ID heuristic + composite quality score.  Quality is emitted
+    ×1000 as an integer so the oracle comparison is float-representation-
+    proof (the score's value set has 2-decimal granularity, so ×1000 is
+    lossless)."""
     from airbyte_custom_spark.functions.text import lang_id, quality_score
 
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return d.select(
-        "doc_id", lang_id("text").alias("lang"), quality_score("text").alias("quality")
+        "doc_id",
+        lang_id("text").alias("lang"),
+        F.round(quality_score("text") * 1000).cast("long").alias("quality_x1000"),
     )
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling-hash fingerprints (rows-only; hash impl is
-    engine-specific, pytest asserts robustness properties)."""
+    """Winnowing fingerprints over the portable h31 rolling hash — the
+    DuckDB oracle reproduces the exact fingerprint count per doc."""
     from airbyte_custom_spark.functions.text import doc_fingerprint
 
     d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -329,9 +333,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (rows-only: signature hashes are
-    engine-specific; pytest proves exact dups are always found and the
-    reported jaccard is exact)."""
+    """MinHash+LSH near-dup pairs, full oracle: at threshold 0.9 with 16
+    bands × 4 rows the per-pair miss probability is (1-0.9⁴)¹⁶ ≈ 4e-8 and
+    the exact-jaccard verify removes all false positives, so the output
+    equals the oracle's exhaustive all-pairs jaccard ≥ 0.9 scan."""
     from airbyte_custom_spark.functions.dedup import minhash_lsh_candidates
 
     return minhash_lsh_candidates(
@@ -350,7 +355,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only; pytest covers hamming properties)."""
+    """SimHash near-dup pairs, full oracle: signatures are built from the
+    portable h31 token hash + shared affine constants (bit-identical in
+    DuckDB), and the 4-band join is pigeonhole-complete at hamming ≤ 3 —
+    so the pair set equals the oracle's exhaustive O(n²) scan."""
     from airbyte_custom_spark.functions.dedup import simhash_near_dups
 
     return simhash_near_dups(_docs_with_planted_dups(spark, sf_dir), max_hamming=3)
@@ -385,8 +393,11 @@ def q_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs over planted duplicate vectors
-    (rows-only; pytest proves planted dups found)."""
+    """Embedding-cosine near-duplicate pairs over planted duplicate vectors.
+    Full oracle: at threshold 0.999 on random gaussian vectors the only
+    qualifying pairs are the planted identical copies (cosine 1.0), which
+    collide in every LSH band — the banded self-join therefore returns
+    exactly the oracle's exhaustive-scan pair set."""
     from airbyte_custom_spark.functions.embeddings import embedding_near_dups
 
     e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -596,39 +607,15 @@ def oracle_sql() -> dict[str, str]:
             FROM hashed JOIN grp USING (h)
             WHERE group_size > 1
         """,
-        "dedup_ngram_jaccard": _DUP_DOCS_SQL
-        + r"""
-            , tok AS (
-              SELECT doc_id,
-                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
-              FROM all_docs
-            ),
-            sh AS (
-              SELECT doc_id,
-                     list_distinct(
-                       CASE WHEN len(w) >= 3 THEN
-                         list_transform(generate_series(1, len(w) - 2),
-                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-                       WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
-                       ELSE [] END) AS shingles
-              FROM tok
-            ),
-            szd AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
-                    WHERE len(shingles) > 0),
-            inv AS (SELECT doc_id, n, unnest(shingles) AS s FROM szd),
-            shared AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     a.n AS n_a, b.n AS n_b, count(*) AS cnt
-              FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2, 3, 4
-            ),
-            jac AS (
-              SELECT id_a, id_b,
-                     round(cnt * 1.0 / (n_a + n_b - cnt), 6) AS jaccard
-              FROM shared
-            )
-            SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.9
-        """,
+        "dedup_ngram_jaccard": _ngram_jaccard_oracle(0.9),
+        "doc_quality_lang": _quality_lang_oracle_sql(),
+        "doc_fingerprints": _fingerprint_oracle_sql(),
+        "dedup_simhash": _simhash_oracle_sql(),
+        # the minhash output is exhaustive at threshold 0.9 (see
+        # q_dedup_minhash_lsh) — the oracle is the same all-pairs jaccard
+        # scan the ngram query uses
+        "dedup_minhash_lsh": _ngram_jaccard_oracle(0.9),
+        "embedding_near_dups": _EMB_NEAR_DUP_ORACLE,
         "embedding_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qv
@@ -659,4 +646,186 @@ _DUP_DOCS_SQL = """
               SELECT doc_id + 10000000 AS doc_id, text FROM documents
               WHERE doc_id % 100 = 0
             )
+"""
+
+def _ngram_jaccard_oracle(threshold: float) -> str:
+    """Exhaustive all-pairs 3-gram jaccard ≥ threshold over the planted-dup
+    corpus — the oracle for BOTH dedup_ngram_jaccard and dedup_minhash_lsh
+    (the LSH output is exhaustive at its threshold; see q_dedup_minhash_lsh)."""
+    return _DUP_DOCS_SQL + rf"""
+            , tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+              FROM all_docs
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(w) >= 3 THEN
+                         list_transform(generate_series(1, len(w) - 2),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                       ELSE [] END) AS shingles
+              FROM tok
+            ),
+            szd AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+                    WHERE len(shingles) > 0),
+            inv AS (SELECT doc_id, n, unnest(shingles) AS s FROM szd),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.n AS n_a, b.n AS n_b, count(*) AS cnt
+              FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            ),
+            jac AS (
+              SELECT id_a, id_b,
+                     round(cnt * 1.0 / (n_a + n_b - cnt), 6) AS jaccard
+              FROM shared
+            )
+            SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
+        """
+
+
+# whitespace tokens, empties removed — the DuckDB twin of functions.text.tokens
+_TOK_SQL = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+
+# positional word 3-gram sequence — twin of functions.text.word_shingle_seq
+_SHINGLE_SEQ_SQL = r"""
+              CASE WHEN len(w) >= 3 THEN
+                     list_transform(generate_series(1, len(w) - 2),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                   ELSE [] END
+"""
+
+
+def _fingerprint_oracle_sql(window: int = 4) -> str:
+    """Exact winnowing-count parity: same positional shingles, same h31
+    rolling hash, same sliding-window minima as functions.text
+    .doc_fingerprint."""
+    from airbyte_custom_spark.functions.text import h31_sql
+
+    return f"""
+            WITH tok AS (SELECT doc_id, {_TOK_SQL} AS w FROM documents),
+            sq AS (SELECT doc_id, {_SHINGLE_SEQ_SQL} AS sh FROM tok),
+            h AS (SELECT doc_id,
+                         list_transform(sh, s -> {h31_sql('s')}) AS hs
+                  FROM sq),
+            mins AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) >= {window} THEN
+                            list_transform(generate_series(1, len(hs) - {window - 1}),
+                                           i -> list_aggregate(hs[i:i+{window - 1}], 'min'))
+                          WHEN len(hs) > 0 THEN [list_aggregate(hs, 'min')]
+                          ELSE [] END AS m
+              FROM h)
+            SELECT doc_id, CAST(len(list_distinct(m)) AS INT) AS n_fingerprints
+            FROM mins
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Exhaustive-pair simhash parity: identical signatures via the shared
+    h31 token hash + simhash_params affine constants, then every pair with
+    hamming ≤ max_hamming (the Spark side's 4-band join is pigeonhole-
+    complete at ≤3, so the pair sets are equal, not just similar)."""
+    from airbyte_custom_spark.functions.dedup import (
+        SIMHASH_BITS,
+        _MERSENNE,
+        simhash_params,
+    )
+    from airbyte_custom_spark.functions.text import h31_sql
+
+    a_c, b_c = simhash_params()
+    bit_sums = ",\n                   ".join(
+        f"SUM((({a_c[i]} * h + {b_c[i]}) % {_MERSENNE}) % 2) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN 2 * v{i} > n THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""{_DUP_DOCS_SQL}
+            , tok AS (SELECT doc_id, {_TOK_SQL} AS w FROM all_docs),
+            th AS (SELECT doc_id,
+                          list_transform(w, t -> {h31_sql('lower(t)')}) AS th
+                   FROM tok),
+            unn AS (SELECT doc_id, unnest(th) AS h FROM th),
+            votes AS (SELECT doc_id, count(*) AS n,
+                   {bit_sums}
+                      FROM unn GROUP BY doc_id),
+            sim0 AS (SELECT doc_id, CAST({packed} AS BIGINT) AS sim FROM votes),
+            sim AS (SELECT t.doc_id, coalesce(s.sim, 0) AS sim
+                    FROM th t LEFT JOIN sim0 s USING (doc_id))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+    """
+
+
+def _quality_lang_oracle_sql() -> str:
+    """Integer-stable quality/lang parity: the argmax tie rule matches
+    functions.text.lang_id (earlier language wins, 'und' when zero hits);
+    quality replays the exact score formula and emits ×1000 as BIGINT."""
+    sw = {
+        "en": "'the','and','of','to','a','in','is','it','that','for'",
+        "es": "'el','la','de','que','y','en','un','una','los','por'",
+        "fr": "'le','la','de','et','les','des','un','une','que','pour'",
+        "de": "'der','die','das','und','ist','ein','eine','nicht','mit','zu'",
+    }
+    hits = ",\n                   ".join(
+        f"len(list_filter(w, x -> lower(x) IN ({s}))) AS h_{lang}"
+        for lang, s in sw.items()
+    )
+    # NB: punct class matches functions.text.punct_ratio exactly
+    punct = r"'[^.,;:!?''\"()\[\]{}-]'"
+    return f"""
+            WITH tok AS (SELECT doc_id, text, {_TOK_SQL} AS w FROM documents),
+            m AS (SELECT doc_id,
+                   len(w) AS n,
+                   {hits},
+                   length(regexp_replace(text, {punct}, '', 'g')) AS npunct,
+                   length(text) AS nchars,
+                   coalesce(list_aggregate(list_transform(w, x -> length(x)),
+                                           'sum'), 0) AS tl
+                  FROM tok),
+            q AS (SELECT doc_id,
+                   CASE WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+                        WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+                        WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+                        WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+                        ELSE 'de' END AS lang,
+                   (CASE WHEN n >= 10 AND n <= 10000 THEN 1.0
+                         WHEN n > 0 THEN 0.3 ELSE 0.0 END) AS len_ok,
+                   (CASE WHEN n > 0 AND (h_en / n) > 0.01 AND (h_en / n) < 0.6
+                         THEN 1.0 ELSE 0.2 END) AS sw_ok,
+                   (CASE WHEN (CASE WHEN nchars > 0 THEN npunct / nchars
+                                    ELSE 0.0 END) < 0.2
+                         THEN 1.0 ELSE 0.2 END) AS punct_ok,
+                   (CASE WHEN n > 0 AND (tl / n) >= 2.0 AND (tl / n) <= 12.0
+                         THEN 1.0 ELSE 0.2 END) AS wl_ok
+                  FROM m)
+            SELECT doc_id, lang,
+                   CAST(round(round(0.4 * len_ok + 0.3 * sw_ok
+                              + 0.15 * punct_ok + 0.15 * wl_ok, 6) * 1000)
+                        AS BIGINT) AS quality_x1000
+            FROM q
+    """
+
+
+_EMB_NEAR_DUP_ORACLE = """
+            WITH all_vecs AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000 AS vec_id, embedding FROM embeddings
+              WHERE vec_id % 100 = 0
+            ),
+            scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(a.embedding, b.embedding), 6)
+                         AS cosine
+              FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.999
 """

@@ -8,14 +8,17 @@ from airbyte_custom_spark.functions.text import (  # noqa: F401
     quality_score,
     lang_id,
     word_shingles,
+    word_shingle_seq,
     doc_fingerprint,
+    h31,
+    h31_sql,
 )
 from airbyte_custom_spark.functions.dedup import (  # noqa: F401
     exact_duplicates,
     minhash_signature,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
-    simhash64,
+    simhash48,
     simhash_near_dups,
 )
 from airbyte_custom_spark.functions.embeddings import (  # noqa: F401

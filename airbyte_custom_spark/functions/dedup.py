@@ -24,10 +24,7 @@ from __future__ import annotations
 
 import random
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql import types as T
 
 from airbyte_custom_spark.functions.text import tokens, word_shingles
 
@@ -110,18 +107,37 @@ def minhash_lsh_candidates(
 
     shingle → minhash → band → bucket-join → verify: candidates come from
     same-(band, hash) buckets; true Jaccard is then verified on candidates
-    only (LSH gives no false positives through to the output)."""
+    only (LSH gives no false positives through to the output).
+
+    Shuffle discipline (the 100-TB concern): the ×bands explode and the
+    band self-join carry ONLY (id, band, band_hash) — never the shingle
+    arrays.  Shingles are joined back by id exactly twice, onto the
+    already-deduplicated candidate pairs (round-1 shipped the full shingle
+    set through the explode and both join sides, replicating every
+    document ×bands through the shuffle)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(text_col, num_hashes, shingle_k, seed)
-    with_sig = df.select(
+    with_sh = df.select(
         F.col(id_col).alias("_id"),
         word_shingles(text_col, shingle_k).alias("_sh"),
-        sig.alias("_sig"),
     ).filter(F.size("_sh") > 0)
+    # signature from the shingles already computed (not from text twice)
+    base = F.transform(
+        F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+    )
+
+    def rehash(a: int, b: int):
+        return lambda h: F.pmod(a * h + b, F.lit(_MERSENNE))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(base, rehash(a, b)))
+            for a, b in _affine_params(num_hashes, seed)
+        ]
+    )
+    with_sig = with_sh.select("_id", "_sh", sig.alias("_sig"))
 
     banded = with_sig.select(
         "_id",
-        "_sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -138,21 +154,19 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("bk"),
-    ).select("_id", "_sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = with_sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = with_sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    cand = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
@@ -218,33 +232,58 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-_SIMHASH_RET = T.LongType()
+SIMHASH_BITS = 48  # 4 bands × 12 bits; packed value stays well inside int64
 
 
-@F.pandas_udf(_SIMHASH_RET)
-def _simhash_from_hashes(hs: pd.Series) -> pd.Series:
-    """token-hash arrays → 64-bit simhash (bit vote).  Arrow-batched; the
-    per-row work is numpy bit unpacking, no Python per token."""
-    out = np.empty(len(hs), dtype=np.int64)
-    for i, arr in enumerate(hs):
-        if arr is None or len(arr) == 0:
-            out[i] = 0
-            continue
-        a = np.asarray(arr, dtype=np.int64).view(np.uint64)
-        bits = ((a[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-        votes = bits.sum(axis=0) * 2 - len(a)
-        word = np.uint64(0)
-        for bit_idx in np.nonzero(votes > 0)[0]:
-            word |= np.uint64(1) << np.uint64(bit_idx)
-        out[i] = word.astype(np.int64) if hasattr(word, "astype") else np.int64(word)
-    return pd.Series(out)
+def simhash_params(
+    n_bits: int = SIMHASH_BITS, seed: int = 7
+) -> tuple[list[int], list[int]]:
+    """Per-bit affine constants (a_i, b_i) over the shared 2^31-1 prime —
+    exported so the DuckDB oracle can inline the SAME constants and
+    reproduce signatures bit-for-bit."""
+    rng = random.Random(seed)
+    a = [rng.randrange(1, _MERSENNE) for _ in range(n_bits)]
+    b = [rng.randrange(0, _MERSENNE) for _ in range(n_bits)]
+    return a, b
 
 
-def simhash64(text_col: Column | str) -> Column:
-    """64-bit SimHash: token hashes computed JVM-side (xxhash64), bit vote
-    in one vectorized pandas UDF."""
-    th = F.transform(tokens(text_col), lambda t: F.xxhash64(F.lower(t)))
-    return _simhash_from_hashes(th)
+def simhash48(text_col: Column | str, seed: int = 7) -> Column:
+    """48-bit SimHash, pure JVM expressions end-to-end (round-1 used an
+    Arrow pandas UDF for the bit vote; this replaces it entirely).
+
+    bit_i(token) = ((a_i * h31(lower(token)) + b_i) mod 2^31-1) mod 2;
+    signature bit i is the majority vote over the token multiset.  Every
+    operation is engine-portable integer arithmetic, so the DuckDB oracle
+    computes identical signatures (h31 + simhash_params are shared)."""
+    from airbyte_custom_spark.functions.text import h31
+
+    th = F.transform(tokens(text_col), lambda t: h31(F.lower(t)))
+    a_consts, b_consts = simhash_params(seed=seed)
+    a_lit = F.lit([*map(int, a_consts)]).cast("array<long>")
+    b_lit = F.lit([*map(int, b_consts)]).cast("array<long>")
+    n = F.size(th)
+    zero = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
+    votes = F.aggregate(
+        th,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(
+                a_lit, b_lit, lambda a, b: ((a * h + b) % F.lit(_MERSENNE)) % F.lit(2)
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    powers = F.lit([1 << i for i in range(SIMHASH_BITS)])
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v * 2 > n, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_near_dups(
@@ -253,10 +292,12 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Pairs with hamming(simhash) ≤ max_hamming via 4×16-bit banding:
+    """Pairs with hamming(simhash) ≤ max_hamming via 4×12-bit banding:
     any pair with ≤3 differing bits agrees on ≥1 of 4 bands (pigeonhole),
-    so the bucket join finds all of them without an O(n²) compare."""
-    s = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("_sim"))
+    so the bucket join finds ALL of them without an O(n²) compare — which
+    also makes the output equal to the oracle's exhaustive pair scan."""
+    s = df.select(F.col(id_col).alias("_id"), simhash48(text_col).alias("_sim"))
+    band_bits = SIMHASH_BITS // 4
     banded = s.select(
         "_id",
         "_sim",
@@ -265,8 +306,8 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("_sim"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("_sim"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
                         .alias("bh"),
                     )
                     for i in range(4)

@@ -81,20 +81,24 @@ def lsh_signature(
     vec_col: Column | str, dim: int, n_planes: int = 16, seed: int = 42
 ) -> Column:
     """Random-hyperplane sign bits packed into a long.  Hyperplanes are
-    generated once on the driver (seeded) and inlined as literal arrays —
-    each bit is a JVM dot-product sign."""
+    generated once on the driver (seeded) and inlined as ONE nested array
+    literal — a single expression-tree node regardless of dim × n_planes
+    (round-1 inlined dim × n_planes scalar literals, which bloats the plan
+    to ~25k nodes at real embedding dims like 1536×16)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     v = F.transform(v, lambda x: x.cast("double"))
-    bits = []
-    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bits.append(
-            F.when(_dot(v, p) >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig.bitwiseOR(b)
-    return sig
+    planes = F.lit(_hyperplanes(dim, n_planes, seed)).cast("array<array<double>>")
+    powers = F.lit([1 << i for i in range(n_planes)])
+    # bit i = sign(v · planes[i]); packed = Σ 2^i over nonnegative dots
+    return F.aggregate(
+        F.zip_with(
+            planes,
+            powers,
+            lambda p, pw: F.when(_dot(v, p) >= 0, pw).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def lsh_bucket_topk(

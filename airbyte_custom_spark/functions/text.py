@@ -11,6 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+# 2^31-1 — the universal-hash prime shared with functions/dedup.py; small
+# enough that every intermediate product stays inside a 64-bit long under
+# ANSI mode, and expressible in portable SQL (the DuckDB oracles replicate
+# these hashes exactly — see h31_sql)
+P31 = (1 << 31) - 1
+
 # small, deterministic stopword lists for the language heuristic
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
@@ -96,8 +102,39 @@ def lang_id(col: Column | str) -> Column:
     return out
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct word k-grams (the MinHash/Jaccard input)."""
+def h31(col: Column | str) -> Column:
+    """Polynomial rolling hash of a string, mod 2^31-1 — h = (h*131 + code)
+    per character.  Engine-portable by construction: pure integer
+    arithmetic both Spark and DuckDB evaluate identically (``h31_sql`` is
+    the DuckDB twin), unlike xxhash64/murmur3 which exist in only one
+    engine.  Used wherever a hash VALUE must be oracle-checkable
+    (fingerprints, simhash); xxhash64 stays in paths where only hash
+    EQUALITY matters (bucketing, minhash bands)."""
+    c = F.col(col) if isinstance(col, str) else col
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.length(c)),
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * 131 + F.ascii(c.substr(i, F.lit(1)))) % F.lit(P31),
+    )
+    return F.when(F.length(c) > 0, fold).otherwise(F.lit(0).cast("long"))
+
+
+def h31_sql(expr: str) -> str:
+    """DuckDB SQL computing exactly ``h31(expr)`` (list_reduce with the
+    first element as seed ≡ fold from 0, since 0*131+x = x)."""
+    return (
+        f"CASE WHEN length({expr}) = 0 THEN 0 ELSE list_reduce("
+        f"list_transform(generate_series(1, length({expr})),"
+        f" i -> CAST(unicode(substring({expr}, i, 1)) AS BIGINT)),"
+        f" (acc, x) -> (acc * 131 + x) % {P31}) END"
+    )
+
+
+def word_shingle_seq(col: Column | str, k: int = 3) -> Column:
+    """Positional word k-gram sequence (ordered, duplicates kept) — the
+    winnowing input; classic winnowing slides over the POSITIONAL k-gram
+    stream, and order-preservation is also what makes the DuckDB oracle
+    exact (set-dedup functions don't guarantee order across engines)."""
     toks = tokens(col)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
@@ -106,14 +143,21 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     short = F.when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks))).otherwise(
         F.array().cast("array<string>")
     )
-    return F.array_distinct(F.when(F.size(toks) >= k, grams).otherwise(short))
+    return F.when(F.size(toks) >= k, grams).otherwise(short)
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams (the MinHash/Jaccard input)."""
+    return F.array_distinct(word_shingle_seq(col, k))
 
 
 def doc_fingerprint(col: Column | str, window: int = 4) -> Column:
-    """Winnowing-style document fingerprint: hash every word shingle, then
-    keep the minimum hash of each sliding window — robust to small edits,
-    computed entirely with JVM array expressions."""
-    hashes = F.transform(word_shingles(col, 3), lambda s: F.xxhash64(s))
+    """Winnowing-style document fingerprint: hash every positional word
+    shingle (portable h31 — the DuckDB oracle reproduces the exact
+    fingerprint values), then keep the minimum hash of each sliding
+    window — robust to small edits, computed entirely with JVM array
+    expressions."""
+    hashes = F.transform(word_shingle_seq(col, 3), lambda s: h31(s))
     n = F.size(hashes)
     mins = F.transform(
         F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),

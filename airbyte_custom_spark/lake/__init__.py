@@ -4,3 +4,8 @@ from airbyte_custom_spark.lake.table import (  # noqa: F401
     ConcurrentCommitError,
     SchemaEvolutionError,
 )
+from airbyte_custom_spark.lake.iceberg import (  # noqa: F401
+    IcebergTable,
+    iceberg_available,
+    open_table,
+)

@@ -16,20 +16,27 @@ Layout (all relative to the table root):
 Design points mirroring Iceberg, chosen for 100-TB behavior:
 
 * **Bucketed layout + copy-on-write MERGE with bucket pruning.**  Rows are
-  hash-bucketed on the bucket keys (default: conv_id — the analog of
-  Iceberg `PARTITIONED BY (bucket(B, conv_id))`, which is also the layout
-  the reference generates: partition by extract-day, cluster by pk,
-  `BigQuerySqlGenerator.java:204-221`).  A merge only rewrites the buckets
-  its source batch touches; untouched buckets' files carry over into the
-  new snapshot by reference.  A batch touching 1% of conversations rewrites
-  ~1% of the table (bounded below by bucket granularity — size
-  ``num_buckets`` so that table_size/num_buckets ≈ a few GB).
+  hash-bucketed on the bucket keys (default: the primary key — the analog
+  of Iceberg `PARTITIONED BY (bucket(B, conv_id, turn_idx))`; the reference
+  clusters its final tables by pk, `BigQuerySqlGenerator.java:204-221`).
+  A merge only rewrites the buckets its source batch touches; untouched
+  buckets' files carry over into the new snapshot by reference.  A batch
+  touching 1% of keys rewrites ~1% of the table (bounded below by bucket
+  granularity — size ``num_buckets`` so that table_size/num_buckets ≈ a
+  few GB).
 
-* **Merge = union + map-side-combining reduce, not a row join.**  The
+* **Merge = union + map-side-combining reduce, ONE shuffle total.**  The
   source batch is unioned with the touched target rows and reduced with
-  groupBy(pk).max_by(row, (lsn, is_delete)) — one shuffle, partial
-  aggregation on the map side, no MERGE-cardinality failures, hot keys
-  collapse before the exchange (SURVEY.md §4 "dedup before merge").
+  groupBy(pk).max_by(row, (lsn, is_delete)) — partial aggregation on the
+  map side, no MERGE-cardinality failures, hot keys collapse before the
+  exchange (SURVEY.md §4 "dedup before merge").  The aggregation exchange
+  IS the file-layout exchange: bucket = pmod(murmur3(pk), num_buckets)
+  uses the exact hash HashPartitioning uses (seed 42), and the merge pins
+  shuffle partitions to num_buckets × files_per_bucket, so reducer
+  partition p holds exactly bucket p % num_buckets — the reduce output is
+  already bucket-clustered and no post-reduce repartition is needed.
+  (Round-1 shape shuffled the merged table a second time purely for
+  layout; the alignment removes that entire exchange.)
 
 * **Tombstones.**  Deletes are retained as `_deleted = true` rows, so a
   stale update (lower lsn) arriving in a LATER batch cannot resurrect a
@@ -66,10 +73,7 @@ from typing import Any
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from airbyte_custom_spark.operators.dedupe import (
-    latest_by_reduce,
-    validate_primary_keys,
-)
+from airbyte_custom_spark.operators.dedupe import validate_primary_keys
 from airbyte_custom_spark.schema import with_meta_columns
 
 _META_DIR = "_meta"
@@ -121,17 +125,23 @@ class LakeTable:
         path: str,
         payload_schema: T.StructType,
         primary_key: tuple[str, ...] = ("conv_id", "turn_idx"),
-        bucket_keys: tuple[str, ...] = ("conv_id",),
+        bucket_keys: tuple[str, ...] | None = None,
         num_buckets: int = 16,
         files_per_bucket: int = 1,
     ) -> "LakeTable":
         """Create an empty table. Physical schema = payload + meta columns.
 
-        ``files_per_bucket`` > 1 splits each bucket's commit output across
-        that many files via a pk-hash write salt: smooths the write stage
-        when bucket→reducer hash collisions (or a hot bucket) would
-        otherwise straggle one task.  Read path is unaffected (the manifest
-        lists every file per bucket)."""
+        ``bucket_keys`` defaults to the primary key: with bucket =
+        pmod(murmur3(pk), num_buckets), the merge's groupBy(pk) exchange is
+        ALSO the layout exchange (see module docstring) — one shuffle per
+        merge.  Pass an explicit prefix (e.g. ("conv_id",)) to co-locate
+        conversations instead; merges then pay one extra layout exchange.
+
+        ``files_per_bucket`` > 1 spreads each bucket's commit output across
+        that many reducer partitions (aligned case) or via a pk-hash write
+        salt (explicit-repartition case): smooths the write stage when a
+        hot bucket would otherwise straggle one task.  Read path is
+        unaffected (the manifest lists every file per bucket)."""
         os.makedirs(os.path.join(path, _META_DIR), exist_ok=False)
         physical = with_meta_columns(payload_schema)
         snapshot = {
@@ -143,10 +153,11 @@ class LakeTable:
             "payload_columns": [f.name for f in payload_schema.fields],
             "num_buckets": num_buckets,
             "files_per_bucket": max(1, files_per_bucket),
-            "bucket_keys": list(bucket_keys),
+            "bucket_keys": list(bucket_keys or primary_key),
             "primary_key": list(primary_key),
             "files": [],
             "applied": {},
+            "applied_lsn_high": None,
             "lineage": [],
         }
         t = LakeTable(spark, path, snapshot)
@@ -191,19 +202,26 @@ class LakeTable:
         return int(self.snapshot["applied"].get(query_id, -1))
 
     def stats(self) -> dict[str, Any]:
-        """Table-size estimate from manifests + parquet footers only (no
-        Spark job) — the pre-sync size estimate the reference computes via
-        `pg_relation_size` (A2, `AbstractDbSource.java:248-262`)."""
-        import pyarrow.parquet as pq
-
+        """Table-size estimate from the manifest alone (no Spark job, no
+        file opens) — row counts/bytes are recorded at write time by
+        ``_manifest_entries``.  The pre-sync size estimate the reference
+        computes via `pg_relation_size` (A2, `AbstractDbSource.java:
+        248-262`).  Legacy entries without counts fall back to one footer
+        read each."""
         files = self.snapshot["files"]
         rows = 0
         bytes_ = 0
         by_bucket: dict[int, int] = {}
         for fl in files:
-            full = os.path.join(self.path, fl["path"])
-            rows += pq.ParquetFile(full).metadata.num_rows
-            bytes_ += os.path.getsize(full)
+            if "rows" in fl:
+                rows += fl["rows"]
+                bytes_ += fl["bytes"]
+            else:  # legacy manifest entry
+                import pyarrow.parquet as pq
+
+                full = os.path.join(self.path, fl["path"])
+                rows += pq.ParquetFile(full).metadata.num_rows
+                bytes_ += os.path.getsize(full)
             by_bucket[fl["bucket"]] = by_bucket.get(fl["bucket"], 0) + 1
         return {
             "version": self.version,
@@ -215,8 +233,14 @@ class LakeTable:
         }
 
     def applied_lsn_high_watermark(self) -> int | None:
-        """Highest lsn recorded in the last commit's lineage (None if the
-        table has no lineage yet)."""
+        """Highest lsn ever applied, persisted cumulatively in the snapshot
+        (carried forward by every commit — a compact/evolve/gc commit in
+        between no longer blinds the C7 stale-offset guard, which it did
+        when this was derived from the last commit's lineage only)."""
+        high = self.snapshot.get("applied_lsn_high")
+        if high is not None:
+            return high
+        # legacy snapshots: fall back to the last commit's lineage
         lineage = self.snapshot.get("lineage") or []
         highs = [p["max_lsn"] for p in lineage if p.get("max_lsn") is not None]
         return max(highs) if highs else None
@@ -241,9 +265,19 @@ class LakeTable:
 
     def bucket_expr(self, df: DataFrame) -> F.Column:
         """Deterministic bucket of the bucket keys — a pure function of the
-        key, so it never needs storing and readers can recompute it."""
+        key, so it never needs storing and readers can recompute it.
+
+        Uses ``F.hash`` (Murmur3, seed 42) — the SAME hash Spark's
+        HashPartitioning uses — over exactly the columns the merge reduce
+        partitions by (xxhash64 sort-prefix first, then the keys; see
+        operators/dedupe.py): when bucket_keys == the primary key and
+        shuffle partitions P is a multiple of num_buckets, reducer
+        partition p contains exactly bucket p % num_buckets and the merge's
+        reduce exchange doubles as the file-layout exchange."""
         keys = [F.col(k) for k in self.snapshot["bucket_keys"]]
-        return F.pmod(F.xxhash64(*keys), F.lit(self.num_buckets)).cast("int")
+        return F.pmod(F.hash(F.xxhash64(*keys), *keys), F.lit(self.num_buckets)).cast(
+            "int"
+        )
 
     def _align(self, df: DataFrame, target: T.StructType) -> DataFrame:
         cols = []
@@ -324,44 +358,74 @@ class LakeTable:
             f.write(str(snapshot["version"]))
         os.replace(tmp, os.path.join(meta, _VERSION_FILE))
 
-    def _write_data(self, df: DataFrame, version: int) -> list[dict[str, Any]]:
+    def _write_data(
+        self,
+        df: DataFrame,
+        snap: dict[str, Any],
+        layout_partitioned: bool = False,
+    ) -> list[dict[str, Any]]:
         """Write rows (must carry all physical columns) bucketed under
-        data/v<version>/, return file manifest entries."""
+        data/v<version>/, return file manifest entries.
+
+        ``layout_partitioned``: the caller guarantees ``df`` is already
+        bucket-clustered (merge's hash-aligned aggregation) — skip the
+        layout exchange entirely.  Writes against ``snap`` (not
+        self.snapshot) so a failed write never leaves the in-memory table
+        on an uncommitted version."""
+        version = snap["version"]
         commit_dir = os.path.join(self.path, _DATA_DIR, f"v{version}")
         out = df.withColumn("bucket", self.bucket_expr(df))
-        fpb = int(self.snapshot.get("files_per_bucket", 1))
-        if fpb > 1:
-            # pk-hash write salt: (bucket, salt) spreads a bucket across fpb
-            # writer tasks → fpb files per bucket, no straggler on hash
-            # collisions or hot buckets
-            salt = F.pmod(
-                F.xxhash64(*[F.col(k) for k in self.primary_key]), F.lit(fpb)
-            )
-            out = (
-                out.withColumn("_wsalt", salt)
-                .repartition(self.num_buckets * fpb, "bucket", "_wsalt")
-                .drop("_wsalt")
-            )
-        else:
-            # co-locate each bucket into one task → one file per bucket
-            out = out.repartition(self.num_buckets, "bucket")
+        fpb = int(snap.get("files_per_bucket", 1))
+        if not layout_partitioned:
+            if fpb > 1:
+                # pk-hash write salt: (bucket, salt) spreads a bucket across
+                # fpb writer tasks → fpb files per bucket, no straggler on
+                # hash collisions or hot buckets
+                salt = F.pmod(
+                    F.xxhash64(*[F.col(k) for k in self.primary_key]), F.lit(fpb)
+                )
+                out = (
+                    out.withColumn("_wsalt", salt)
+                    .repartition(self.num_buckets * fpb, "bucket", "_wsalt")
+                    .drop("_wsalt")
+                )
+            else:
+                # co-locate each bucket into one task → one file per bucket
+                out = out.repartition(self.num_buckets, "bucket")
         out.write.mode("errorifexists").partitionBy("bucket").parquet(commit_dir)
-        entries: list[dict[str, Any]] = []
-        sid = self.snapshot["current_schema_id"]
+        return self._manifest_entries(commit_dir, snap["current_schema_id"])
+
+    def _manifest_entries(self, commit_dir: str, sid: int) -> list[dict[str, Any]]:
+        """Enumerate one commit's freshly-written files (bounded by this
+        commit's size, not the table's) and record row counts/bytes at write
+        time so ``stats()`` never opens a footer.  Footer reads are
+        parallelized across a thread pool."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        paths: list[tuple[str, int]] = []
         for root, _dirs, names in os.walk(commit_dir):
             for name in names:
                 if not name.endswith(".parquet"):
                     continue
-                full = os.path.join(root, name)
                 bucket = int(os.path.basename(root).split("=", 1)[1])
-                entries.append(
-                    {
-                        "path": os.path.relpath(full, self.path),
-                        "bucket": bucket,
-                        "schema_id": sid,
-                    }
-                )
-        return entries
+                paths.append((os.path.join(root, name), bucket))
+
+        def entry(item: tuple[str, int]) -> dict[str, Any]:
+            full, bucket = item
+            return {
+                "path": os.path.relpath(full, self.path),
+                "bucket": bucket,
+                "schema_id": sid,
+                "rows": pq.ParquetFile(full).metadata.num_rows,
+                "bytes": os.path.getsize(full),
+            }
+
+        if len(paths) <= 1:
+            return [entry(p) for p in paths]
+        with ThreadPoolExecutor(max_workers=min(32, len(paths))) as ex:
+            return list(ex.map(entry, paths))
 
     def _next_snapshot(self, operation: str, **overrides: Any) -> dict[str, Any]:
         # fail fast before any data is written if another writer committed
@@ -444,7 +508,7 @@ class LakeTable:
         """Raw append — no dedup (destination mode `append`)."""
         rows = self._finalize_rows(events_df, extracted_at)
         snap = self._next_snapshot("append")
-        new_files = self._write_data(rows, snap["version"])
+        new_files = self._write_data(rows, snap)
         snap["files"] = self.snapshot["files"] + new_files
         self._commit(snap)
         return snap["version"]
@@ -455,7 +519,7 @@ class LakeTable:
         commit here."""
         rows = self._finalize_rows(events_df, extracted_at)
         snap = self._next_snapshot("overwrite")
-        snap["files"] = self._write_data(rows, snap["version"])
+        snap["files"] = self._write_data(rows, snap)
         self._commit(snap)
         return snap["version"]
 
@@ -467,29 +531,33 @@ class LakeTable:
         batch_id: int | None = None,
         query_id: str = "default",
         extracted_at: datetime | None = None,
-        assume_reduced: bool = False,
+        assume_reduced: bool = False,  # deprecated: merge always reduces
         lineage: list[dict[str, Any]] | None = None,
         validate_pk: bool = True,
         touched_buckets: list[int] | None = None,
     ) -> MergeResult:
         """Apply a batch of CDC events (payload + lsn + op [+ _ab_cdc_*]).
 
-        Pipeline: validate pk → [reduce to 1 row/key] → prune to touched
-        buckets → union with touched target rows → max_by-reduce per key
-        (delete wins ties) → rewrite touched buckets → atomic commit
-        (carrying over untouched files + recording batch_id for
-        exactly-once replay skip)."""
+        Pipeline: validate pk → prune to touched buckets → union with
+        touched target rows → ONE max_by-reduce per key over (lsn,
+        is_delete) (delete wins ties — T5; the reduce happens AFTER
+        _finalize_rows computes _deleted, so an equal-lsn delete/upsert
+        pair in the same batch resolves to the delete regardless of
+        arrival order) → rewrite touched buckets → atomic commit (carrying
+        over untouched files + recording batch_id for exactly-once replay
+        skip).
+
+        There is no separate pre-reduce: the merge's own groupBy(pk) IS the
+        latest-per-key reduction, with map-side partial aggregation (hot
+        keys collapse before the exchange), and when bucket_keys == the
+        primary key its exchange is hash-aligned with the file layout (see
+        module docstring) so the whole merge shuffles exactly once."""
         if batch_id is not None and batch_id <= self.last_committed_batch(query_id):
             return MergeResult(version=None, skipped=True)
         if validate_pk:
             validate_primary_keys(events_df, self.primary_key)
 
-        src = events_df
-        if not assume_reduced:
-            src = latest_by_reduce(
-                src, self.primary_key, order_col="lsn", delete_col=None
-            )
-        rows = self._finalize_rows(src, extracted_at, defer_ids=True)
+        rows = self._finalize_rows(events_df, extracted_at, defer_ids=True)
 
         if touched_buckets is not None:
             # caller computed them from an already-cached batch (pipeline
@@ -514,28 +582,29 @@ class LakeTable:
         tgt = self._read_files(target_files)
 
         pk = self.primary_key
-        order = F.struct(
-            F.col("_lsn").alias("o"),
-            F.coalesce(F.col("_deleted").cast("int"), F.lit(0)).alias("d"),
-        )
-        cols = rows.columns
-        payload_struct = F.struct(*[F.col(c) for c in cols])
-        merged = (
-            tgt.unionByName(rows)
-            .groupBy(*pk)
-            .agg(F.max_by(payload_struct, order).alias("_row"))
-            .select(*[F.col(f"_row.{c}").alias(c) for c in cols])
-        )
         # ids deferred past the reduce: only surviving rows get the sha256
         # raw id / extraction timestamp (target winners keep their stored
         # values via coalesce) — keeps 64-byte hash strings out of the
         # groupBy shuffle entirely
-        merged = self._fill_ids_cols(merged, extracted_at)
+        merged = self._fill_ids_cols(self._merged_frame(rows, tgt), extracted_at)
 
         snap = self._next_snapshot("merge")
+        # layout alignment (see module docstring): when the bucket keys are
+        # exactly the groupBy keys, pin the aggregation exchange to
+        # num_buckets × files_per_bucket partitions — reducer p then holds
+        # exactly bucket p % num_buckets, so the write needs NO repartition
+        aligned = list(self.snapshot["bucket_keys"]) == list(pk)
+        fpb = int(self.snapshot.get("files_per_bucket", 1))
+        conf = self.spark.conf
+        prev_shuffle = conf.get("spark.sql.shuffle.partitions")
         try:
-            new_files = self._write_data(merged, snap["version"])
+            if aligned:
+                conf.set(
+                    "spark.sql.shuffle.partitions", str(self.num_buckets * fpb)
+                )
+            new_files = self._write_data(merged, snap, layout_partitioned=aligned)
         finally:
+            conf.set("spark.sql.shuffle.partitions", prev_shuffle)
             if cached is not None:
                 cached.unpersist()
         snap["files"] = carried + new_files
@@ -543,12 +612,35 @@ class LakeTable:
             snap["applied"] = {**self.snapshot["applied"], query_id: batch_id}
         if lineage is not None:
             snap["lineage"] = lineage
+            highs = [p["max_lsn"] for p in lineage if p.get("max_lsn") is not None]
+            if highs:
+                prev_high = self.snapshot.get("applied_lsn_high")
+                snap["applied_lsn_high"] = max(
+                    [*highs, prev_high] if prev_high is not None else highs
+                )
         self._commit(snap)
         return MergeResult(
             version=snap["version"],
             touched_buckets=sorted(touched),
             carried_files=len(carried),
             written_files=len(new_files),
+        )
+
+    def _merged_frame(self, rows: DataFrame, tgt: DataFrame) -> DataFrame:
+        """union(batch, touched target) → one row per pk = greatest
+        (lsn, is_delete) — THE merge reduce: latest_per_key's
+        WindowGroupLimit formulation (map-side top-1 per key before the
+        exchange, hash-prefixed sort keys; 2× a max_by SortAggregate at
+        16M rows), exactly one shuffle in its plan, output partitioning =
+        hash(_gk, pk) which IS the bucket layout (asserted by
+        tests/test_plans.py)."""
+        from airbyte_custom_spark.operators.dedupe import latest_per_key
+
+        return latest_per_key(
+            tgt.unionByName(rows),
+            self.primary_key,
+            order_col="_lsn",
+            delete_col="_deleted",
         )
 
     # ------------------------------------------------------- schema evolve
@@ -593,9 +685,10 @@ class LakeTable:
         snap["schemas"][str(sid)] = json.loads(new_physical.json())
         snap["current_schema_id"] = sid
         snap["payload_columns"] = [f.name for f in new_payload.fields]
-        self.snapshot = {**self.snapshot, **snap, "files": self.snapshot["files"]}
+        # NB: self.snapshot is NOT touched until _commit succeeds — a failed
+        # write leaves the in-memory table on the committed version
         aligned = self._align(rows, new_physical)
-        snap["files"] = self._write_data(aligned, snap["version"])
+        snap["files"] = self._write_data(aligned, snap)
         self._commit(snap)
         return snap["version"]
 
@@ -614,7 +707,7 @@ class LakeTable:
         rewrite = [f for f in self.snapshot["files"] if f["bucket"] in to_rewrite]
         rows = self._read_files(rewrite)
         snap = self._next_snapshot("compact")
-        snap["files"] = keep + self._write_data(rows, snap["version"])
+        snap["files"] = keep + self._write_data(rows, snap)
         self._commit(snap)
         return snap["version"]
 
@@ -640,6 +733,6 @@ class LakeTable:
             ~(F.col("_deleted") & (F.col("_lsn") < F.lit(lsn_watermark)))
         )
         snap = self._next_snapshot("gc-tombstones")
-        snap["files"] = keep + self._write_data(rows, snap["version"])
+        snap["files"] = keep + self._write_data(rows, snap)
         self._commit(snap)
         return snap["version"]

@@ -98,12 +98,15 @@ def evolve_table_for(table, incoming_payload: T.StructType) -> SchemaDiff:
         [f for f in table.schema().fields if f.name in set(table.payload_columns)]
     )
     diff = diff_schemas(current, incoming_payload)
-    if diff.no_change or (not diff.added and not diff.widened):
-        return diff
+    # incompatible check FIRST: an incompatible-only diff (pure retype, no
+    # adds/widens) must raise, not silently return — the caller needs to
+    # know a soft_reset is required
     if not diff.compatible:
         raise ValueError(
             f"incompatible schema change {diff.incompatible} — use soft_reset"
         )
+    if diff.no_change or (not diff.added and not diff.widened):
+        return diff
     table.evolve_schema(evolved_payload(current, diff))
     return diff
 

@@ -37,6 +37,13 @@ def wholestage_spans(df: DataFrame) -> int:
     return len(set(ids))
 
 
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan (broadcast
+    exchanges excluded) — the unit of cost the scaling gate cares about."""
+    plan = explain_str(df, "simple")
+    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange RoundRobinPartitioning", plan))
+
+
 def scan_read_schema(df: DataFrame) -> list[str]:
     """Column names in the scan's ReadSchema (column-pruning check)."""
     plan = explain_str(df)

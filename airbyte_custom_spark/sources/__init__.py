@@ -5,3 +5,10 @@ from airbyte_custom_spark.sources.generator import (  # noqa: F401
     DERIVATION_SQL,
     FINAL_STATE_SQL,
 )
+from airbyte_custom_spark.sources.jdbc import (  # noqa: F401
+    JdbcSourceConfig,
+    chunk_predicates,
+    chunked_read,
+    full_refresh_read,
+    incremental_read,
+)

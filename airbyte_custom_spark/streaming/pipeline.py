@@ -171,13 +171,18 @@ class CdcIngestJob:
 
         src = events
         if self.config.salt_buckets > 1:
-            # explicit two-stage salted reduction for pathologically hot keys
+            # explicit two-stage salted reduction for pathologically hot
+            # keys; the is-delete tiebreak column makes an equal-lsn
+            # delete/upsert pair resolve to the delete (T5) here too, not
+            # just inside merge's own reduce
+            is_del = (F.col("op") == "d") | F.col("_ab_cdc_deleted_at").isNotNull()
             src = salted_latest(
-                events,
+                events.withColumn("_del", is_del),
                 table.primary_key,
                 order_col="lsn",
+                delete_col="_del",
                 salt_buckets=self.config.salt_buckets,
-            )
+            ).drop("_del")
         # no pre-reduce otherwise: merge's union+groupBy(max_by) IS the
         # latest-per-key reduction, with map-side partial aggregation — a
         # separate reduce would just add a full extra shuffle of the batch
@@ -185,7 +190,6 @@ class CdcIngestJob:
             src,
             batch_id=batch_id,
             query_id=qid,
-            assume_reduced=True,  # groupBy inside merge dedups regardless
             lineage=lineage,
             validate_pk=False,  # validated via the stats aggregation above
             touched_buckets=touched,
@@ -244,7 +248,13 @@ class CdcIngestJob:
         )
         q.awaitTermination(timeout_sec)
         if q.isActive:
+            # a bounded run still active at timeout means PARTIAL ingestion —
+            # never report it as success (the checkpoint makes a re-run safe)
             q.stop()
+            raise TimeoutError(
+                f"bounded run still active after {timeout_sec}s — ingestion "
+                "incomplete; re-run resumes from the checkpoint"
+            )
         # surface foreachBatch exceptions (awaitTermination(timeout) swallows)
         if q.exception() is not None:
             raise RuntimeError(str(q.exception()))
@@ -259,6 +269,33 @@ class CdcIngestJob:
             .trigger(processingTime=processing_time)
             .start()
         )
+
+    def run_continuous(
+        self,
+        timeout_sec: float = 600,
+        processing_time: str = "1 second",
+        max_empty_polls: int = 10,
+        stall_after_sec: float | None = None,
+    ) -> BatchMetricsLog:
+        """Continuous tail with C10 liveness monitoring: a dead/silent
+        source (``max_empty_polls`` consecutive no-data triggers, or no
+        data for ``stall_after_sec``) stops the query and raises
+        StalledStreamError instead of idling forever — the reference's
+        empty-poll shutdown (`DebeziumRecordIterator.java:93-110`)."""
+        from airbyte_custom_spark.streaming.liveness import (
+            LivenessWatchdog,
+            await_with_liveness,
+        )
+
+        watchdog = LivenessWatchdog(max_empty_polls, stall_after_sec)
+        self.spark.streams.addListener(watchdog)
+        try:
+            q = self.start(processing_time)
+        except Exception:
+            self.spark.streams.removeListener(watchdog)
+            raise
+        await_with_liveness(self.spark, q, watchdog, timeout_sec)
+        return self.metrics
 
 
 def backfill(

@@ -8,12 +8,14 @@ Scaling evidence (north rule, sandbox variant per BASELINE.md): the SAME
 job on the SAME input at two parallelism levels in separate JVMs, with
 shuffle partitions sized to the DATA (identical at both levels — cores
 consume partitions, exactly as executors would on a cluster).  The pair is
-local[2] vs local[8]: hardware calibration (see BENCH.md) shows this shared
+local[1] vs local[4]: hardware calibration (see BENCH.md) shows this shared
 VM delivers only ~2.6× more arithmetic at 32 threads vs 8 and saturates
-DRAM bandwidth at ~6 memcpy processes (0.42 scaling at 4→16), so larger
-pairs measure the host's memory system, not the engine.  Both hardware
+DRAM bandwidth at ~6 memcpy processes, so larger pairs measure the host's
+memory system, not the engine — 1→4 is the largest 4× pair below DRAM
+saturation whose ALU envelope is ~1.0 in every window.  Both hardware
 ceilings (ALU + memory-bandwidth) are measured and reported next to the
-job's efficiency every run.
+job's efficiency every run; co-tenant noise varies by tens of percent
+between windows, hence interleaved best-of-N reps.
 
 I/O placement: shuffle dirs, segments, table, and checkpoints live on
 tmpfs for the scaling runs — local[N] funnels everything through ONE host
@@ -46,9 +48,9 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 EVENTS_PER_SF = 20_000_000          # headline events scale with sf
-SCALING_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS", "24000000"))
-SCALING_PAIR = (2, 8)               # N, 4N — see module docstring
-SCALING_REPS = 2                    # best-of (shared-VM noise)
+SCALING_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS", "16000000"))
+SCALING_PAIR = (1, 4)               # N, 4N — see module docstring
+SCALING_REPS = 3                    # best-of (shared-VM noise)
 SCALING_SHUFFLE = 64                # data-sized, identical at both levels
 N_CHUNKS = 32
 SHM = "/dev/shm/acs-bench" if os.path.isdir("/dev/shm") else tempfile.gettempdir()

@@ -9,7 +9,7 @@ from airbyte_custom_spark.functions.dedup import (
     exact_duplicates,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
-    simhash64,
+    simhash48,
     simhash_near_dups,
 )
 
@@ -54,6 +54,22 @@ def test_minhash_jaccard_is_exact_on_candidates(spark, corpus):
             assert r["jaccard"] == 1.0
 
 
+def test_minhash_banded_exchange_carries_no_arrays(spark, corpus):
+    """The ×bands explode and the band self-join must shuffle only
+    (id, band, band_hash) — the shingle arrays join back by id AFTER pair
+    dedup (round-2 scale fix; at 100 TB the replicated shingle sets would
+    otherwise dominate the shuffle)."""
+    from airbyte_custom_spark.plans.inspect import explain_str
+
+    plan = explain_str(minhash_lsh_candidates(corpus, jaccard_threshold=0.5))
+    for block in plan.split("\n\n"):
+        first = block.lstrip().splitlines()[0] if block.strip() else ""
+        if "Exchange" not in first:
+            continue
+        if "hashpartitioning(band" in block:
+            assert "_sh" not in block, block
+
+
 def test_ngram_jaccard_pairs(spark, corpus):
     pairs = ngram_jaccard_pairs(corpus, threshold=0.5)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
@@ -72,7 +88,7 @@ def test_ngram_frequency_cap_drops_hot_shingles(spark):
 
 
 def test_simhash_properties(spark, corpus):
-    s = corpus.select("doc_id", simhash64("text").alias("sh")).collect()
+    s = corpus.select("doc_id", simhash48("text").alias("sh")).collect()
     by_id = {r["doc_id"]: r["sh"] for r in s}
     assert by_id[1] == by_id[2]  # identical text → identical simhash
     ham13 = bin((by_id[1] ^ by_id[3]) & ((1 << 64) - 1)).count("1")

@@ -88,6 +88,39 @@ def test_delete_wins_tie_at_equal_lsn(spark, tmp_path):
     assert table_state(t.read()) == {}
 
 
+def test_delete_wins_tie_delete_listed_first(spark, tmp_path):
+    """Same T5 tie with the delete FIRST in arrival order — must still
+    resolve to the delete (regression: the round-1 pre-reduce tie-broke by
+    arrival order when delete_col wasn't threaded through)."""
+    t = fresh_table(spark, tmp_path)
+    t.merge(mk_events(spark, [ev(1, "d", "a", 0), ev(1, "c", "a", 0)]), batch_id=0)
+    assert table_state(t.read()) == {}
+
+
+def test_watermark_survives_maintenance_commits(spark, tmp_path):
+    """applied_lsn_high is cumulative: a compact (or any maintenance
+    commit) between merges must not blind the C7 stale-offset guard."""
+    t = fresh_table(spark, tmp_path, num_buckets=2)
+    lineage = [{"source_partition": 0, "events": 3, "min_lsn": 1, "max_lsn": 7}]
+    t.merge(
+        mk_events(spark, [ev(1, "c", "a", 0), ev(7, "c", "b", 0)]),
+        batch_id=0,
+        lineage=lineage,
+    )
+    assert t.applied_lsn_high_watermark() == 7
+    # fragment then compact — a non-merge commit in between
+    t.append(mk_events(spark, [ev(8, "c", "c", 0)]))
+    t.compact(min_files_per_bucket=1)
+    assert t.applied_lsn_high_watermark() == 7
+    # a later merge only raises it
+    t.merge(
+        mk_events(spark, [ev(9, "u", "a", 0)]),
+        batch_id=1,
+        lineage=[{"source_partition": 0, "events": 1, "min_lsn": 9, "max_lsn": 9}],
+    )
+    assert t.applied_lsn_high_watermark() == 9
+
+
 def test_duplicate_replay_idempotent(spark, tmp_path):
     """Same batch applied twice with the same batch_id is a no-op
     (`cdcIdempotent:579`; manifest per `GlobalAsyncStateManager.java:34-52`)."""

@@ -49,6 +49,31 @@ def test_generator_is_whole_stage_codegen(spark):
     assert wholestage_spans(ev) >= 1
 
 
+def test_merge_reduce_is_single_shuffle(spark, tmp_path):
+    """The merge dataflow (union + latest-per-key reduce) must contain
+    exactly ONE shuffle exchange, and the reduce must collapse map-side
+    (WindowGroupLimit Partial BEFORE the exchange — at most one row per key
+    ships, the hot-key defense); with pk bucket keys the write then adds no
+    exchange (layout-aligned, `lake/table.py` module docstring) — this is
+    the round-2 scaling-gate fix."""
+    from airbyte_custom_spark.lake.table import LakeTable
+    from airbyte_custom_spark.plans.inspect import exchange_count
+    from airbyte_custom_spark.schema import TRANSCRIPT_SCHEMA
+    from airbyte_custom_spark.sources.generator import change_events
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    t.merge(change_events(spark, 2000, n_convs=50), batch_id=0)
+    rows = t._finalize_rows(change_events(spark, 500, n_convs=50), None, defer_ids=True)
+    tgt = t._read_files(t.snapshot["files"])
+    merged = t._fill_ids_cols(t._merged_frame(rows, tgt), None)
+    with_bucket = merged.withColumn("bucket", t.bucket_expr(merged))
+    plan = explain_str(with_bucket, "simple")
+    assert exchange_count(with_bucket) == 1, plan
+    # map-side top-1 per key runs before the exchange
+    partial_pos = plan.find("WindowGroupLimit", plan.find("Exchange"))
+    assert "Partial" in plan and partial_pos != -1, plan
+
+
 def test_broadcast_join_for_small_queries(spark, sf_dir):
     """brute_force_topk must broadcast the query side (no shuffle of the
     big scan side)."""

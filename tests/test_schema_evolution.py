@@ -49,6 +49,21 @@ def test_diff_incompatible():
     assert d.incompatible and not d.compatible
 
 
+def test_evolve_incompatible_only_raises(spark, tmp_path):
+    """A pure retype with no added/widened columns must raise (caller needs
+    to know a soft_reset is required), not return silently — regression for
+    the round-1 early-return-before-compat-check bug."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    retyped = T.StructType(
+        [
+            T.StructField(f.name, T.BooleanType() if f.name == "text" else f.dataType)
+            for f in TRANSCRIPT_SCHEMA.fields
+        ]
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        evolve_table_for(t, retyped)
+
+
 def test_diff_narrowing_is_noop():
     cur = T.StructType([T.StructField("a", T.LongType())])
     inc = T.StructType([T.StructField("a", T.IntegerType())])
