@@ -616,6 +616,7 @@ def oracle_sql() -> dict[str, str]:
         # scan the ngram query uses
         "dedup_minhash_lsh": _ngram_jaccard_oracle(0.9),
         "embedding_near_dups": _EMB_NEAR_DUP_ORACLE,
+        "multimodal_features": _multimodal_oracle_sql(),
         "embedding_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qv
@@ -811,6 +812,47 @@ def _quality_lang_oracle_sql() -> str:
                               + 0.15 * punct_ok + 0.15 * wl_ok, 6) * 1000)
                         AS BIGINT) AS quality_x1000
             FROM q
+    """
+
+
+def _multimodal_oracle_sql(n: int = 256, seed: int = 42) -> str:
+    """Rebuilds synthetic_media's deterministic payload (ASCII hexdigest
+    bytes — chosen so DuckDB's VARCHAR-only sha256 can hash it) and replays
+    the fake feature extraction exactly: 16 little-endian uint32s from
+    sha256(payload)||sha256(payload), % 10000 / 10000."""
+    hv = "(strpos('0123456789abcdef', substring(f2, {p}, 1)) - 1)"
+
+    def byte(pos: int) -> str:
+        return f"(16 * {hv.format(p=pos)} + {hv.format(p=pos + 1)})"
+
+    feats = []
+    for j in range(16):
+        b = 8 * j + 1
+        u32 = (
+            f"({byte(b)} + 256 * {byte(b + 2)} + 65536 * {byte(b + 4)}"
+            f" + 16777216 * {byte(b + 6)})"
+        )
+        feats.append(f"(({u32} % 10000) / 10000.0)")
+    # left-associated sum matches the Spark fold order
+    total = feats[0]
+    for f in feats[1:]:
+        total = f"({total} + {f})"
+    return f"""
+            WITH m AS (
+              SELECT i AS media_id,
+                     CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                          WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     substring(repeat(sha256('{seed}:' || i), CAST(i % 7 AS INT) + 1),
+                               1, 32 + CAST(i % 64 AS INT)) AS payload
+              FROM range({n}) t(i)
+            ),
+            f AS (SELECT media_id, kind,
+                         CAST(length(payload) AS INT) AS n_bytes,
+                         repeat(sha256(payload), 2) AS f2
+                  FROM m)
+            SELECT media_id, kind, n_bytes,
+                   round({total}, 4) AS feature_sum
+            FROM f
     """
 
 

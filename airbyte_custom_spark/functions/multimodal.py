@@ -60,7 +60,11 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
-        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        # ASCII hexdigest bytes (not the raw digest): the payload stays an
+        # opaque binary column to Spark, but the DuckDB oracle can rebuild
+        # it with sha256()/repeat()/substring() and verify the feature
+        # extraction end-to-end (sha256(BLOB) is unavailable there)
+        h = hashlib.sha256(f"{seed}:{i}".encode()).hexdigest().encode()
         payload = (h * ((i % 7) + 1))[: 32 + (i % 64)]
         kind = kinds[i % 3]
         rows.append(

@@ -59,6 +59,11 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--target-lsn", type=int, default=None)
     t.add_argument("--max-files", type=int, default=None)
     t.add_argument("--salt", type=int, default=0)
+    t.add_argument(
+        "--max-empty-polls", type=int, default=0,
+        help="with --follow: stop + fail after N consecutive no-data "
+             "triggers (C10 liveness; 0 = run forever)",
+    )
 
     s = sub.add_parser("show", help="print final table rows")
     s.add_argument("--table", required=True)
@@ -108,7 +113,12 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.table, args.source, args.checkpoint, cfg,
             target_lsn=args.target_lsn,
         )
-        if args.follow:
+        if args.follow and args.max_empty_polls > 0:
+            job.run_continuous(
+                timeout_sec=float("inf"),
+                max_empty_polls=args.max_empty_polls,
+            )
+        elif args.follow:
             q = job.start()
             q.awaitTermination()
         else:

@@ -10,8 +10,20 @@ can be swapped in on a cluster.
 Layout (all relative to the table root):
 
     _meta/VERSION            current version (int) — atomically replaced
-    _meta/snap-v<N>.json     immutable snapshot descriptors
+    _meta/snap-v<N>.json     immutable snapshot descriptors (manifest REFS
+                             + per-bucket stat rollups, never file lists)
+    _meta/manifest-v<N>-<id>.json   immutable per-commit file manifests
     data/v<N>/bucket=<b>/*.parquet   data files written by commit N
+
+Snapshots reference manifests Iceberg-manifest-list style: each commit
+writes ONE immutable manifest shard listing its files (with row/byte
+counts recorded at write time), and the snapshot holds {path,
+live_buckets, by-bucket rollups} refs.  A merge "deletes" a bucket from an
+old commit by dropping the bucket from that ref's live set — the manifest
+shard itself is never rewritten.  Consequences at 100 TB: commit metadata
+work is O(touched buckets + 1 shard), not O(table files); `stats()` and
+bucket pruning read rollups only; the full file listing is only
+materialized for the buckets a read actually touches.
 
 Design points mirroring Iceberg, chosen for 100-TB behavior:
 
@@ -155,7 +167,7 @@ class LakeTable:
             "files_per_bucket": max(1, files_per_bucket),
             "bucket_keys": list(bucket_keys or primary_key),
             "primary_key": list(primary_key),
-            "files": [],
+            "manifests": [],
             "applied": {},
             "applied_lsn_high": None,
             "lineage": [],
@@ -171,6 +183,66 @@ class LakeTable:
                 version = int(f.read().strip())
         with open(os.path.join(path, _META_DIR, f"snap-v{version}.json")) as f:
             return LakeTable(spark, path, json.load(f))
+
+    # ---------------------------------------------------- manifest resolution
+
+    def _load_manifest(self, ref: dict[str, Any]) -> list[dict[str, Any]]:
+        cache = getattr(self, "_manifest_cache", None)
+        if cache is None:
+            cache = self._manifest_cache = {}
+        if ref["path"] not in cache:
+            with open(os.path.join(self.path, ref["path"])) as f:
+                cache[ref["path"]] = json.load(f)
+        return cache[ref["path"]]
+
+    def live_files(self, buckets: set[int] | None = None) -> list[dict[str, Any]]:
+        """File entries live in this snapshot, optionally restricted to
+        ``buckets``.  Loads only the manifest shards whose live-bucket set
+        intersects the request (manifest-level pruning)."""
+        out: list[dict[str, Any]] = []
+        for ref in self.snapshot["manifests"]:
+            live = set(ref["live_buckets"])
+            want = live if buckets is None else (live & set(buckets))
+            if not want:
+                continue
+            out += [e for e in self._load_manifest(ref) if e["bucket"] in want]
+        return out
+
+    def _write_manifest(
+        self, entries: list[dict[str, Any]], version: int
+    ) -> dict[str, Any]:
+        """Write one immutable manifest shard + return its snapshot ref
+        (live buckets + per-bucket [files, rows, bytes] rollups)."""
+        name = f"manifest-v{version}-{uuid.uuid4().hex[:8]}.json"
+        rel = os.path.join(_META_DIR, name)
+        with open(os.path.join(self.path, rel), "w") as f:
+            json.dump(entries, f)
+        by_bucket: dict[str, list[int]] = {}
+        for e in entries:
+            s = by_bucket.setdefault(str(e["bucket"]), [0, 0, 0])
+            s[0] += 1
+            s[1] += int(e.get("rows", 0))
+            s[2] += int(e.get("bytes", 0))
+        return {
+            "path": rel,
+            "live_buckets": sorted({e["bucket"] for e in entries}),
+            "by_bucket": by_bucket,
+        }
+
+    @staticmethod
+    def _drop_buckets(ref: dict[str, Any], dead: set[int]) -> dict[str, Any] | None:
+        """Ref minus buckets (manifest shard untouched); None if empty."""
+        live = [b for b in ref["live_buckets"] if b not in dead]
+        if not live:
+            return None
+        return {
+            "path": ref["path"],
+            "live_buckets": live,
+            "by_bucket": {str(b): ref["by_bucket"][str(b)] for b in live},
+        }
+
+    def _ref_files(self, refs: list[dict[str, Any]]) -> int:
+        return sum(s[0] for r in refs for s in r["by_bucket"].values())
 
     @staticmethod
     def exists(path: str) -> bool:
@@ -202,30 +274,24 @@ class LakeTable:
         return int(self.snapshot["applied"].get(query_id, -1))
 
     def stats(self) -> dict[str, Any]:
-        """Table-size estimate from the manifest alone (no Spark job, no
-        file opens) — row counts/bytes are recorded at write time by
-        ``_manifest_entries``.  The pre-sync size estimate the reference
+        """Table-size estimate from snapshot rollups alone — no Spark job,
+        no file opens, no manifest-shard reads (row/byte counts are
+        recorded at write time).  The pre-sync size estimate the reference
         computes via `pg_relation_size` (A2, `AbstractDbSource.java:
-        248-262`).  Legacy entries without counts fall back to one footer
-        read each."""
-        files = self.snapshot["files"]
+        248-262`)."""
         rows = 0
         bytes_ = 0
+        files = 0
         by_bucket: dict[int, int] = {}
-        for fl in files:
-            if "rows" in fl:
-                rows += fl["rows"]
-                bytes_ += fl["bytes"]
-            else:  # legacy manifest entry
-                import pyarrow.parquet as pq
-
-                full = os.path.join(self.path, fl["path"])
-                rows += pq.ParquetFile(full).metadata.num_rows
-                bytes_ += os.path.getsize(full)
-            by_bucket[fl["bucket"]] = by_bucket.get(fl["bucket"], 0) + 1
+        for ref in self.snapshot["manifests"]:
+            for b, (n, r, sz) in ref["by_bucket"].items():
+                files += n
+                rows += r
+                bytes_ += sz
+                by_bucket[int(b)] = by_bucket.get(int(b), 0) + n
         return {
             "version": self.version,
-            "files": len(files),
+            "files": files,
             "rows": rows,
             "bytes": bytes_,
             "buckets": len(by_bucket),
@@ -255,7 +321,11 @@ class LakeTable:
                     {
                         "version": s["version"],
                         "operation": s["operation"],
-                        "files": len(s["files"]),
+                        "files": sum(
+                            st[0]
+                            for ref in s.get("manifests", [])
+                            for st in ref["by_bucket"].values()
+                        ),
                         "applied": s.get("applied", {}),
                     }
                 )
@@ -316,14 +386,12 @@ class LakeTable:
         include_meta: bool = False,
         buckets: list[int] | None = None,
     ) -> DataFrame:
-        """Current snapshot as a DataFrame.  ``buckets`` prunes data files
-        before Spark ever lists them (the manifest-level pruning Iceberg
-        does with partition stats)."""
-        files = self.snapshot["files"]
-        if buckets is not None:
-            bs = set(buckets)
-            files = [f for f in files if f["bucket"] in bs]
-        df = self._read_files(files)
+        """Current snapshot as a DataFrame.  ``buckets`` prunes manifest
+        shards AND data files before Spark ever lists them (the
+        manifest-level pruning Iceberg does with partition stats)."""
+        df = self._read_files(
+            self.live_files(None if buckets is None else set(buckets))
+        )
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         if not include_meta:
@@ -363,9 +431,10 @@ class LakeTable:
         df: DataFrame,
         snap: dict[str, Any],
         layout_partitioned: bool = False,
-    ) -> list[dict[str, Any]]:
+    ) -> dict[str, Any]:
         """Write rows (must carry all physical columns) bucketed under
-        data/v<version>/, return file manifest entries.
+        data/v<version>/, write the commit's manifest shard, and return
+        its snapshot ref.
 
         ``layout_partitioned``: the caller guarantees ``df`` is already
         bucket-clustered (merge's hash-aligned aggregation) — skip the
@@ -393,7 +462,8 @@ class LakeTable:
                 # co-locate each bucket into one task → one file per bucket
                 out = out.repartition(self.num_buckets, "bucket")
         out.write.mode("errorifexists").partitionBy("bucket").parquet(commit_dir)
-        return self._manifest_entries(commit_dir, snap["current_schema_id"])
+        entries = self._manifest_entries(commit_dir, snap["current_schema_id"])
+        return self._write_manifest(entries, version)
 
     def _manifest_entries(self, commit_dir: str, sid: int) -> list[dict[str, Any]]:
         """Enumerate one commit's freshly-written files (bounded by this
@@ -508,8 +578,8 @@ class LakeTable:
         """Raw append — no dedup (destination mode `append`)."""
         rows = self._finalize_rows(events_df, extracted_at)
         snap = self._next_snapshot("append")
-        new_files = self._write_data(rows, snap)
-        snap["files"] = self.snapshot["files"] + new_files
+        ref = self._write_data(rows, snap)
+        snap["manifests"] = self.snapshot["manifests"] + [ref]
         self._commit(snap)
         return snap["version"]
 
@@ -519,7 +589,7 @@ class LakeTable:
         commit here."""
         rows = self._finalize_rows(events_df, extracted_at)
         snap = self._next_snapshot("overwrite")
-        snap["files"] = self._write_data(rows, snap)
+        snap["manifests"] = [self._write_data(rows, snap)]
         self._commit(snap)
         return snap["version"]
 
@@ -577,9 +647,15 @@ class LakeTable:
                 .collect()
             ]
         touched_set = set(touched)
-        carried = [f for f in self.snapshot["files"] if f["bucket"] not in touched_set]
-        target_files = [f for f in self.snapshot["files"] if f["bucket"] in touched_set]
-        tgt = self._read_files(target_files)
+        carried = [
+            r
+            for r in (
+                self._drop_buckets(ref, touched_set)
+                for ref in self.snapshot["manifests"]
+            )
+            if r is not None
+        ]
+        tgt = self._read_files(self.live_files(touched_set))
 
         pk = self.primary_key
         # ids deferred past the reduce: only surviving rows get the sha256
@@ -602,12 +678,12 @@ class LakeTable:
                 conf.set(
                     "spark.sql.shuffle.partitions", str(self.num_buckets * fpb)
                 )
-            new_files = self._write_data(merged, snap, layout_partitioned=aligned)
+            new_ref = self._write_data(merged, snap, layout_partitioned=aligned)
         finally:
             conf.set("spark.sql.shuffle.partitions", prev_shuffle)
             if cached is not None:
                 cached.unpersist()
-        snap["files"] = carried + new_files
+        snap["manifests"] = carried + [new_ref]
         if batch_id is not None:
             snap["applied"] = {**self.snapshot["applied"], query_id: batch_id}
         if lineage is not None:
@@ -622,8 +698,8 @@ class LakeTable:
         return MergeResult(
             version=snap["version"],
             touched_buckets=sorted(touched),
-            carried_files=len(carried),
-            written_files=len(new_files),
+            carried_files=self._ref_files(carried),
+            written_files=self._ref_files([new_ref]),
         )
 
     def _merged_frame(self, rows: DataFrame, tgt: DataFrame) -> DataFrame:
@@ -688,7 +764,7 @@ class LakeTable:
         # NB: self.snapshot is NOT touched until _commit succeeds — a failed
         # write leaves the in-memory table on the committed version
         aligned = self._align(rows, new_physical)
-        snap["files"] = self._write_data(aligned, snap)
+        snap["manifests"] = [self._write_data(aligned, snap)]
         self._commit(snap)
         return snap["version"]
 
@@ -696,18 +772,27 @@ class LakeTable:
 
     def compact(self, min_files_per_bucket: int = 2) -> int | None:
         """Rewrite buckets fragmented across > min_files_per_bucket files —
-        the `rewriteDataFiles` analog (`IcebergConsumer.java:210-224`)."""
-        by_bucket: dict[int, list[dict[str, Any]]] = {}
-        for fl in self.snapshot["files"]:
-            by_bucket.setdefault(fl["bucket"], []).append(fl)
-        to_rewrite = {b for b, fs in by_bucket.items() if len(fs) > min_files_per_bucket}
+        the `rewriteDataFiles` analog (`IcebergConsumer.java:210-224`).
+        Fragmentation is read from snapshot rollups (no manifest loads);
+        compaction also re-collapses manifest refs for those buckets."""
+        by_bucket: dict[int, int] = {}
+        for ref in self.snapshot["manifests"]:
+            for b, (n, _r, _s) in ref["by_bucket"].items():
+                by_bucket[int(b)] = by_bucket.get(int(b), 0) + n
+        to_rewrite = {b for b, n in by_bucket.items() if n > min_files_per_bucket}
         if not to_rewrite:
             return None
-        keep = [f for f in self.snapshot["files"] if f["bucket"] not in to_rewrite]
-        rewrite = [f for f in self.snapshot["files"] if f["bucket"] in to_rewrite]
-        rows = self._read_files(rewrite)
+        keep = [
+            r
+            for r in (
+                self._drop_buckets(ref, to_rewrite)
+                for ref in self.snapshot["manifests"]
+            )
+            if r is not None
+        ]
+        rows = self._read_files(self.live_files(to_rewrite))
         snap = self._next_snapshot("compact")
-        snap["files"] = keep + self._write_data(rows, snap)
+        snap["manifests"] = keep + [self._write_data(rows, snap)]
         self._commit(snap)
         return snap["version"]
 
@@ -727,12 +812,17 @@ class LakeTable:
         buckets = {r["b"] for r in affected}
         if not buckets:
             return self.version
-        keep = [f for f in self.snapshot["files"] if f["bucket"] not in buckets]
-        rewrite = [f for f in self.snapshot["files"] if f["bucket"] in buckets]
-        rows = self._read_files(rewrite).filter(
+        keep = [
+            r
+            for r in (
+                self._drop_buckets(ref, buckets) for ref in self.snapshot["manifests"]
+            )
+            if r is not None
+        ]
+        rows = self._read_files(self.live_files(buckets)).filter(
             ~(F.col("_deleted") & (F.col("_lsn") < F.lit(lsn_watermark)))
         )
         snap = self._next_snapshot("gc-tombstones")
-        snap["files"] = keep + self._write_data(rows, snap)
+        snap["manifests"] = keep + [self._write_data(rows, snap)]
         self._commit(snap)
         return snap["version"]

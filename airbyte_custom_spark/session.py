@@ -58,7 +58,12 @@ def get_spark(
         # keeps G1 collecting; shuffles spill to local dir (tmpfs) fine.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # zstd, not snappy: ~1.7× smaller files → the scan becomes
+        # ALU-bound decompression instead of DRAM-bound memcpy, which is
+        # the resource that actually scales with cores (input-read scaling
+        # measured 0.58→0.85 at 1→4; merge end-to-end 0.70→0.83).  Shuffle
+        # stays lz4 — zstd in the shuffle hot path measured strictly slower.
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

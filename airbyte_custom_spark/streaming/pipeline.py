@@ -298,6 +298,90 @@ class CdcIngestJob:
         return self.metrics
 
 
+class GlobalStateIngestJob(CdcIngestJob):
+    """GLOBAL-state CDC: ONE binlog/WAL position fans out to MULTIPLE
+    stream tables (`airbyte-protocol.md:485-506` — a GLOBAL-state source
+    shares a single replication slot across streams and cannot be
+    parallelized per stream).
+
+    Spark mapping: one Structured-Streaming checkpoint (= the global
+    offset) drives one foreachBatch that splits each micro-batch by the
+    stream discriminator column and merges each slice into its own
+    LakeTable under the SAME batch_id.  A crash between per-stream merges
+    replays the batch: streams already committed skip via their manifest,
+    the rest apply — exactly-once per stream from one global offset.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, str],
+        source_dir: str,
+        checkpoint_dir: str,
+        config: IngestConfig | None = None,
+        stream_col: str = "stream",
+    ):
+        # table_path is unused in the multi-stream apply; pass the first
+        # for the base class plumbing (metrics/checkpoint live per job)
+        first = next(iter(tables.values()))
+        super().__init__(spark, first, source_dir, checkpoint_dir, config)
+        self.tables = tables
+        self.stream_col = stream_col
+
+    def _source_stream(self) -> DataFrame:
+        schema = T_STREAMED_EVENT
+        reader = self.spark.readStream.schema(schema)
+        if self.config.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(self.config.max_files_per_trigger)
+            )
+        return reader.parquet(self.source_dir)
+
+    def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._batches_run += 1
+        if (
+            self.fail_after_batches is not None
+            and self._batches_run > self.fail_after_batches
+        ):
+            raise RuntimeError(f"injected failure before batch {batch_id}")
+        start = time.monotonic()
+        total = 0
+        qid_base = self._manifest_query_id()
+        for stream, path in sorted(self.tables.items()):
+            table = LakeTable.load(self.spark, path)
+            qid = f"{qid_base}/{stream}"
+            if batch_id <= table.last_committed_batch(qid):
+                continue
+            part = batch_df.filter(F.col(self.stream_col) == stream).drop(
+                self.stream_col
+            )
+            result = table.merge(
+                part,
+                batch_id=batch_id,
+                query_id=qid,
+                validate_pk=self.config.validate_pk,
+            )
+            if not result.skipped:
+                total += 1
+        self.metrics.record(
+            BatchMetrics(
+                batch_id=batch_id,
+                events=total,
+                seconds=time.monotonic() - start,
+            )
+        )
+
+
+# streamed-event schema for GLOBAL-state sources: the CDC envelope plus the
+# stream discriminator (the Debezium topic/table name analog)
+from pyspark.sql import types as _T  # noqa: E402
+
+T_STREAMED_EVENT = _T.StructType(
+    list(CDC_EVENT_SCHEMA.fields)
+    + [_T.StructField("stream", _T.StringType(), True)]
+)
+
+
 def backfill(
     spark: SparkSession,
     table: LakeTable,

@@ -307,9 +307,45 @@ def main() -> None:
     print(json.dumps(result, ensure_ascii=False))
 
 
+def _update_history(r: dict) -> list[dict]:
+    """Append this run to BENCH_HISTORY.json (round-over-round tracking)."""
+    hist_path = os.path.join(REPO, "BENCH_HISTORY.json")
+    hist: list[dict] = []
+    if os.path.exists(hist_path):
+        try:
+            with open(hist_path) as f:
+                hist = json.load(f)
+        except ValueError:
+            hist = []
+    s = r.get("scaling", {})
+    n_lo, n_hi = s.get("pair", SCALING_PAIR)
+    hist.append(
+        {
+            "events_per_sec": r.get("events_per_sec"),
+            "e2e_sec": r.get("value"),
+            "sf": r.get("sf"),
+            "pair": [n_lo, n_hi],
+            "efficiency": s.get("efficiency_n_to_4n"),
+            "hw_alu": s.get("hardware_alu_ceiling"),
+            "hw_membw": s.get("hardware_membw_ceiling"),
+        }
+    )
+    with open(hist_path, "w") as f:
+        json.dump(hist, f, indent=1)
+    return hist
+
+
 def _write_bench_md(r: dict) -> None:
     s = r.get("scaling", {})
     n_lo, n_hi = s.get("pair", SCALING_PAIR)
+    hist = _update_history(r)
+    hist_rows = "\n".join(
+        f"| {i + 1} | {h.get('events_per_sec'):,} | {h.get('e2e_sec')} | "
+        f"{h['pair'][0]}→{h['pair'][1]} | {h.get('efficiency')} | "
+        f"{h.get('hw_alu')} / {h.get('hw_membw')} |"
+        for i, h in enumerate(hist)
+        if h.get("events_per_sec")
+    )
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(f"""# BENCH — end-to-end CDC apply + scaling evidence
 
@@ -376,6 +412,16 @@ section reports.
 Per-partition lineage and per-batch throughput are recorded by the job
 into each commit snapshot (`_meta/snap-v*.json: lineage`) and the
 checkpoint metrics log (`<ckpt>/metrics/batches.jsonl`).
+
+## Run history (BENCH_HISTORY.json — bench runs on this VM, all windows)
+
+Host co-tenancy varies by tens of percent between windows; compare each
+run's efficiency against its same-window hardware ceilings, not across
+rows.
+
+| run | headline ev/s | e2e s | pair | efficiency | hw alu / membw |
+|---|---|---|---|---|---|
+{hist_rows}
 """)
 
 

@@ -172,7 +172,7 @@ def test_bucket_pruning_carries_untouched_files(spark, tmp_path):
     t = fresh_table(spark, tmp_path, num_buckets=16)
     big = change_events(spark, 5000, n_convs=300, max_turns=8)
     t.merge(big, batch_id=0)
-    files_before = len(t.snapshot["files"])
+    files_before = t.stats()["files"]
     res = t.merge(mk_events(spark, [ev(999999, "u", "conv-1", 0, text="touch")]), batch_id=1)
     assert len(res.touched_buckets) == 1
     assert res.carried_files == files_before - 1
@@ -200,10 +200,12 @@ def test_compaction_preserves_state(spark, tmp_path):
     assert v is not None
     assert table_state(t.read()) == before
     by_bucket = {}
-    for f in t.snapshot["files"]:
+    for f in t.live_files():
         by_bucket.setdefault(f["bucket"], 0)
         by_bucket[f["bucket"]] += 1
     assert all(n == 1 for n in by_bucket.values())
+    # compaction also collapsed the manifest refs for rewritten buckets
+    assert t.stats()["max_files_per_bucket"] == 1
 
 
 def test_gc_tombstones(spark, tmp_path):

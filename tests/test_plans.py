@@ -64,7 +64,7 @@ def test_merge_reduce_is_single_shuffle(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=4)
     t.merge(change_events(spark, 2000, n_convs=50), batch_id=0)
     rows = t._finalize_rows(change_events(spark, 500, n_convs=50), None, defer_ids=True)
-    tgt = t._read_files(t.snapshot["files"])
+    tgt = t._read_files(t.live_files())
     merged = t._fill_ids_cols(t._merged_frame(rows, tgt), None)
     with_bucket = merged.withColumn("bucket", t.bucket_expr(merged))
     plan = explain_str(with_bucket, "simple")

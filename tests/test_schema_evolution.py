@@ -91,7 +91,7 @@ def test_widen_turn_idx_int_to_long(spark, tmp_path):
     """schema_widen_type: int32 → int64 without rewriting old files."""
     t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=2)
     t.merge(mk_events(spark, [ev(1, "c", "a", 0)]), batch_id=0)
-    files_before = [f["path"] for f in t.snapshot["files"]]
+    files_before = sorted(f["path"] for f in t.live_files())
     widened = T.StructType(
         [
             T.StructField(f.name, T.LongType() if f.name == "turn_idx" else f.dataType, True)
@@ -100,7 +100,7 @@ def test_widen_turn_idx_int_to_long(spark, tmp_path):
     )
     evolve_table_for(t, widened)
     assert t.schema()["turn_idx"].dataType == T.LongType()
-    assert [f["path"] for f in t.snapshot["files"]] == files_before  # no rewrite
+    assert sorted(f["path"] for f in t.live_files()) == files_before  # no rewrite
     big = mk_events(spark, [ev(2, "c", "a", 1)]).withColumn(
         "turn_idx", F.lit(2_147_483_657)  # > int32 max → long literal
     )
