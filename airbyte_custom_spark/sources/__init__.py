@@ -5,6 +5,13 @@ from airbyte_custom_spark.sources.generator import (  # noqa: F401
     DERIVATION_SQL,
     FINAL_STATE_SQL,
 )
+from airbyte_custom_spark.sources.http import (  # noqa: F401
+    DeclarativeStream,
+    OffsetPagination,
+    RecordSelector,
+    fetch_serial,
+    paginated_read,
+)
 from airbyte_custom_spark.sources.jdbc import (  # noqa: F401
     JdbcSourceConfig,
     chunk_predicates,

@@ -47,10 +47,18 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-EVENTS_PER_SF = 20_000_000          # headline events scale with sf
+# headline events scale with sf: sf0.1 → 10M events (~18 s at local[32]).
+# At 2M events the run was ~60% per-batch fixed overhead (566k ev/s at 10M
+# vs 198k at 2M, same window) — the larger run is the representative
+# throughput for the 10^10-event design target, where batches amortize
+# scheduling/commit costs exactly like this.
+EVENTS_PER_SF = 100_000_000
 SCALING_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS", "16000000"))
 SCALING_PAIR = (1, 4)               # N, 4N — see module docstring
-SCALING_REPS = 3                    # best-of (shared-VM noise)
+# best-of-N interleaved: co-tenant bursts last ~10 min and can triple a
+# level's runtime (observed p4 131s → 51s across one run's reps); more
+# reps = better odds one lands in a calm sub-window
+SCALING_REPS = 4
 SCALING_SHUFFLE = 64                # data-sized, identical at both levels
 N_CHUNKS = 32
 SHM = "/dev/shm/acs-bench" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
