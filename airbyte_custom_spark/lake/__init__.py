@@ -9,3 +9,4 @@ from airbyte_custom_spark.lake.iceberg import (  # noqa: F401
     iceberg_available,
     open_table,
 )
+from airbyte_custom_spark.lake.raw import dedup_raw_table  # noqa: F401

@@ -1,0 +1,67 @@
+"""Raw/final two-table model + T4 dedupRawTable (SURVEY.md §2.4).
+
+The reference lands every record in an append-only RAW table
+(`_airbyte_raw_*`: raw_id, extracted_at, loaded_at, data — `JavaBaseConstants
+.java:29-43`), types+dedups into the FINAL table, then T4 deletes raw rows
+that have been superseded AND typed (`BigQuerySqlGenerator.java` dedup of
+the raw table keeps one raw row per pk).
+
+The engine's primary path doesn't need a raw table (snapshot manifests +
+tombstones already give replay, audit, and out-of-order safety — see
+lake/table.py), but the raw/final shape is part of the reference's surface,
+so it is available here as a composition:
+
+  * RAW   = a LakeTable used in append mode over the CDC event envelope
+            (every event version retained, `_lsn` = the event's position);
+  * FINAL = the usual merged table;
+  * T4    = ``dedup_raw_table``: rewrite RAW keeping only the latest raw
+            row per pk at-or-below the final table's applied watermark —
+            superseded, already-typed history is dropped; anything newer
+            than the watermark is retained untouched (it may not be typed
+            yet).
+
+Scale shape: the dedup is the same WindowGroupLimit latest-per-key reduce
+the merge uses (map-side collapse, hash-prefixed keys), applied only to
+raw rows ≤ the watermark; the rewrite is one bucketed overwrite of the
+affected buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airbyte_custom_spark.lake.table import LakeTable
+from airbyte_custom_spark.operators.dedupe import latest_per_key
+
+
+def dedup_raw_table(raw: LakeTable, applied_lsn_watermark: int | None = None) -> int:
+    """T4: drop superseded raw history.
+
+    Keeps, per primary key: the single latest raw row with
+    ``_lsn <= watermark`` (the typed state's source-of-truth row), plus
+    EVERY row above the watermark (not yet typed — must be preserved
+    verbatim).  ``applied_lsn_watermark`` defaults to the raw table's own
+    cumulative applied watermark when recorded; with no watermark at all,
+    the whole table dedups to latest-per-key (the reference's plain raw
+    dedup)."""
+    wm = applied_lsn_watermark
+    if wm is None:
+        wm = raw.applied_lsn_high_watermark()
+
+    rows = raw.read(include_deleted=True, include_meta=True)
+    if wm is None:
+        keep = latest_per_key(rows, raw.primary_key, order_col="_lsn",
+                              delete_col="_deleted")
+    else:
+        typed = rows.filter(F.col("_lsn") <= F.lit(wm))
+        pending = rows.filter(F.col("_lsn") > F.lit(wm))
+        keep = latest_per_key(
+            typed, raw.primary_key, order_col="_lsn", delete_col="_deleted"
+        ).unionByName(pending)
+
+    # the raw rows already carry their meta columns — write them back
+    # verbatim under a new snapshot (overwrite semantics, one commit)
+    snap = raw._next_snapshot("dedup-raw")
+    snap["manifests"] = [raw._write_data(keep, snap)]
+    raw._commit(snap)
+    return snap["version"]

@@ -796,6 +796,83 @@ class LakeTable:
         self._commit(snap)
         return snap["version"]
 
+    def expire_snapshots(
+        self, retain_last: int = 2, remove_orphans: bool = False
+    ) -> dict[str, int]:
+        """Drop snapshot metadata older than the newest ``retain_last``
+        versions and physically delete data files + manifest shards no
+        retained snapshot references — the Iceberg expireSnapshots /
+        removeOrphanFiles maintenance pair (`IcebergConsumer.java:210-224`
+        table-maintenance analog).  Time travel keeps working across the
+        retained window.
+
+        ``remove_orphans`` additionally sweeps data/ for files referenced
+        by NO retained snapshot at all — this is what reclaims the output
+        of a commit that wrote data and then failed before its snapshot
+        landed (the copy-on-write failure mode)."""
+        meta = os.path.join(self.path, _META_DIR)
+        versions = sorted(
+            int(n[len("snap-v"):-len(".json")])
+            for n in os.listdir(meta)
+            if n.startswith("snap-v") and n.endswith(".json")
+        )
+        retained = set(versions[-retain_last:])
+        retained.add(self.version)  # never expire the current pointer
+        expired = [v for v in versions if v not in retained]
+
+        def _snapshot(v: int) -> dict[str, Any]:
+            with open(os.path.join(meta, f"snap-v{v}.json")) as f:
+                return json.load(f)
+
+        live_files: set[str] = set()
+        live_manifests: set[str] = set()
+        for v in retained:
+            snap = _snapshot(v)
+            for ref in snap.get("manifests", []):
+                live_manifests.add(ref["path"])
+                live = set(ref["live_buckets"])
+                for e in self._load_manifest(ref):
+                    if e["bucket"] in live:
+                        live_files.add(e["path"])
+
+        removed_files = removed_manifests = 0
+        for v in expired:
+            snap = _snapshot(v)
+            for ref in snap.get("manifests", []):
+                for e in self._load_manifest(ref):
+                    if e["path"] not in live_files:
+                        full = os.path.join(self.path, e["path"])
+                        if os.path.exists(full):
+                            os.remove(full)
+                            removed_files += 1
+                if ref["path"] not in live_manifests:
+                    full = os.path.join(self.path, ref["path"])
+                    if os.path.exists(full):
+                        os.remove(full)
+                        removed_manifests += 1
+            os.remove(os.path.join(meta, f"snap-v{v}.json"))
+
+        orphans = 0
+        if remove_orphans:
+            data_root = os.path.join(self.path, _DATA_DIR)
+            for root, _dirs, names in os.walk(data_root, topdown=False):
+                for name in names:
+                    full = os.path.join(root, name)
+                    rel = os.path.relpath(full, self.path)
+                    if name.endswith(".parquet") and rel not in live_files:
+                        os.remove(full)
+                        orphans += 1
+                if not os.listdir(root):
+                    os.rmdir(root)
+        # shard cache may now hold entries for deleted manifests
+        self._manifest_cache = {}
+        return {
+            "expired_snapshots": len(expired),
+            "removed_files": removed_files,
+            "removed_manifests": removed_manifests,
+            "removed_orphans": orphans,
+        }
+
     def gc_tombstones(self, lsn_watermark: int) -> int:
         """Physically drop tombstones with _lsn < watermark (safe once every
         source partition has passed the watermark — no staler update can

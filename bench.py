@@ -212,6 +212,34 @@ def _hardware_scaling(n_lo: int, n_hi: int, secs: float = 2.0) -> dict:
     }
 
 
+def _await_calm_window(
+    n_lo: int,
+    n_hi: int,
+    membw_floor: float = 0.55,
+    alu_floor: float = 0.85,
+    max_waits: int = 8,
+    wait_sec: float = 45.0,
+) -> dict:
+    """Probe the same-window hardware envelope; if the host is too
+    contended for a ≥0.8 measurement to be expressible (membw or ALU
+    ceiling below floor), wait and re-probe — bounded, then proceed
+    regardless (the probe is recorded either way)."""
+    def contended(h: dict) -> bool:
+        # alu far above 1.0 is equally diagnostic: the low-side probe got
+        # throttled mid-measurement — the window is not self-consistent
+        return h["membw"] < membw_floor or not (alu_floor <= h["alu"] <= 1.15)
+
+    hw = _hardware_scaling(n_lo, n_hi, secs=1.5)
+    waited = 0
+    while contended(hw) and waited < max_waits:
+        log(f"    contended window (alu={hw['alu']:.2f} membw={hw['membw']:.2f})"
+            f" — waiting {wait_sec:.0f}s for calm ({waited + 1}/{max_waits})")
+        time.sleep(wait_sec)
+        hw = _hardware_scaling(n_lo, n_hi, secs=1.5)
+        waited += 1
+    return hw
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--apply-run", nargs=2, metavar=("SEGDIR", "NEVENTS"))
@@ -277,9 +305,17 @@ def main() -> None:
         _gen_segments(spark, sev, seg2)
         spark.stop()
 
-        # interleave the levels so host-noise windows hit both equally
+        # interleave the levels so host-noise windows hit both equally, and
+        # GATE each rep on a same-window hardware probe: co-tenant bursts
+        # (observed 2-3× runtime swings decaying over ~10 min) make a rep
+        # measure the neighbors, not the engine — wait briefly for a window
+        # in which the silicon can physically express the scaling, and
+        # record the probe next to every rep either way
         runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
-        for _ in range(SCALING_REPS):
+        probes: list[dict] = []
+        for rep in range(SCALING_REPS):
+            hw_rep = _await_calm_window(n_lo, n_hi)
+            probes.append({k: round(v, 3) for k, v in hw_rep.items()})
             for cores in (n_lo, n_hi):
                 r = _run_child(seg2, sev, cores)
                 runs[cores].append(r)
@@ -292,6 +328,7 @@ def main() -> None:
         result["scaling"] = {
             "pair": [n_lo, n_hi],
             "events": sev,
+            "per_rep_hw_probes": probes,
             "shuffle_partitions": SCALING_SHUFFLE,
             f"p{n_lo}_events_per_sec": round(lo["events_per_sec"], 1),
             f"p{n_hi}_events_per_sec": round(hi["events_per_sec"], 1),

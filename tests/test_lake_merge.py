@@ -217,6 +217,37 @@ def test_gc_tombstones(spark, tmp_path):
     assert table_state(t.read()) == {("b", 0): table_state(t.read())[("b", 0)]}
 
 
+def test_expire_snapshots_reclaims_dead_files(spark, tmp_path):
+    """expire_snapshots: old versions' superseded files are physically
+    deleted, retained versions still read (time travel inside the window),
+    orphans from uncommitted writes are swept."""
+    import os
+
+    t = fresh_table(spark, tmp_path, num_buckets=2)
+    for i in range(4):
+        t.merge(mk_events(spark, [ev(i + 1, "u", "a", 0, text=f"v{i}")]), batch_id=i)
+    data_files_before = sum(
+        len(fs) for _, _, fs in os.walk(str(tmp_path / "tbl" / "data"))
+    )
+    # plant an orphan (a failed commit's leftover)
+    orphan_dir = tmp_path / "tbl" / "data" / "v99" / "bucket=0"
+    orphan_dir.mkdir(parents=True)
+    (orphan_dir / "junk.parquet").write_bytes(b"not really parquet")
+
+    stats = t.expire_snapshots(retain_last=2, remove_orphans=True)
+    assert stats["expired_snapshots"] >= 2
+    assert stats["removed_files"] + stats["removed_orphans"] > 0
+    assert stats["removed_orphans"] >= 1
+    data_files_after = sum(
+        len(fs) for _, _, fs in os.walk(str(tmp_path / "tbl" / "data"))
+    )
+    assert data_files_after < data_files_before
+    # current state intact; previous retained version still loadable
+    assert table_state(t.read())[("a", 0)][1] == "v3"
+    prev = LakeTable.load(spark, t.path, version=t.version - 1)
+    assert table_state(prev.read())[("a", 0)][1] == "v2"
+
+
 def test_generator_replay_end_to_end(spark, tmp_path):
     """Scale-generator stream, multi-batch, vs the naive oracle."""
     t = fresh_table(spark, tmp_path, num_buckets=8)
