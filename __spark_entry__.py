@@ -381,7 +381,10 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k (rows-only; pytest measures recall vs exact)."""
+    """LSH-bucketed ANN top-k, full oracle: the seeded hyperplanes are
+    inlined into the DuckDB SQL and sign bits computed with an identical
+    left-fold dot product, so candidate sets match exactly (pytest
+    additionally measures recall vs the exact baseline)."""
     from airbyte_custom_spark.functions.embeddings import lsh_bucket_topk
 
     e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -616,6 +619,7 @@ def oracle_sql() -> dict[str, str]:
         # scan the ngram query uses
         "dedup_minhash_lsh": _ngram_jaccard_oracle(0.9),
         "embedding_near_dups": _EMB_NEAR_DUP_ORACLE,
+        "embedding_lsh_ann": _lsh_ann_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
         "embedding_topk": """
             WITH q AS (
@@ -812,6 +816,95 @@ def _quality_lang_oracle_sql() -> str:
                               + 0.15 * punct_ok + 0.15 * wl_ok, 6) * 1000)
                         AS BIGINT) AS quality_x1000
             FROM q
+    """
+
+
+def _lsh_ann_oracle_sql(
+    dim: int = 64, n_planes: int = 16, bands: int = 4, k: int = 5, seed: int = 42
+) -> str:
+    """Full-parity oracle for the hyperplane-LSH ANN: the seeded planes are
+    inlined as literals and each sign bit is computed with the SAME strict
+    left-fold dot product Spark's `_dot` uses (list_reduce seeded by the
+    first element ≡ fold from 0.0), so signatures — and therefore candidate
+    sets — are identical; the re-rank reuses the rounded-cosine ordering of
+    the embedding_topk oracle.  dim is pinned to the testdata's embedding
+    width."""
+    from airbyte_custom_spark.functions.embeddings import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows = ",\n              ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in planes[j])}]::DOUBLE[])"
+        for j in range(n_planes)
+    )
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+
+    def banded(src: str, idc: str) -> str:
+        return f"""
+            SELECT {idc}, b.band,
+                   (sig >> (b.band * {bits_per_band})) & {mask} AS bh
+            FROM {src} CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS band) b
+        """
+
+    return f"""
+            WITH pl(j, p) AS (VALUES
+              {rows}),
+            dots AS (
+              SELECT e.vec_id, pl.j,
+                     list_reduce(
+                       list_transform(generate_series(1, {dim}),
+                                      i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i]),
+                       (a, x) -> a + x) AS dot
+              FROM embeddings e CROSS JOIN pl
+            ),
+            sig AS (
+              SELECT vec_id,
+                     SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j)
+                              ELSE 0 END) AS sig
+              FROM dots GROUP BY vec_id
+            ),
+            dband AS ({banded('sig', 'vec_id')}),
+            qband AS (
+              SELECT vec_id AS query_id, band, bh FROM dband WHERE vec_id < 5
+            ),
+            cand AS (
+              SELECT DISTINCT q.query_id, d.vec_id
+              FROM qband q JOIN dband d USING (band, bh)
+            ),
+            -- cosine via the SAME left folds Spark's cosine_similarity
+            -- uses (list_cosine_similarity differs in the last bit, which
+            -- flips round-6 boundary cases)
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     round(CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END, 6)
+                         AS cosine
+              FROM (
+                SELECT c.query_id, c.vec_id,
+                       list_reduce(list_transform(generate_series(1, {dim}),
+                         i -> CAST(e.embedding[i] AS DOUBLE)
+                              * CAST(qe.embedding[i] AS DOUBLE)),
+                         (a, x) -> a + x) AS dotp,
+                       sqrt(list_reduce(list_transform(generate_series(1, {dim}),
+                         i -> CAST(e.embedding[i] AS DOUBLE)
+                              * CAST(e.embedding[i] AS DOUBLE)),
+                         (a, x) -> a + x))
+                       * sqrt(list_reduce(list_transform(generate_series(1, {dim}),
+                         i -> CAST(qe.embedding[i] AS DOUBLE)
+                              * CAST(qe.embedding[i] AS DOUBLE)),
+                         (a, x) -> a + x)) AS den
+                FROM cand c
+                JOIN embeddings e ON e.vec_id = c.vec_id
+                JOIN embeddings qe ON qe.vec_id = c.query_id
+              ) c
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+                     ) AS INT) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
     """
 
 

@@ -215,28 +215,30 @@ def _hardware_scaling(n_lo: int, n_hi: int, secs: float = 2.0) -> dict:
 def _await_calm_window(
     n_lo: int,
     n_hi: int,
+    budget: dict | None = None,
     membw_floor: float = 0.55,
     alu_floor: float = 0.85,
-    max_waits: int = 8,
     wait_sec: float = 45.0,
 ) -> dict:
     """Probe the same-window hardware envelope; if the host is too
     contended for a ≥0.8 measurement to be expressible (membw or ALU
-    ceiling below floor), wait and re-probe — bounded, then proceed
-    regardless (the probe is recorded either way)."""
+    ceiling below floor), wait and re-probe.  The wait budget is SHARED
+    across the whole run (``budget["waits"]``) so a long storm delays the
+    bench by minutes, not the storm's full length — once exhausted, reps
+    run regardless (the probe is recorded next to each rep either way)."""
     def contended(h: dict) -> bool:
         # alu far above 1.0 is equally diagnostic: the low-side probe got
         # throttled mid-measurement — the window is not self-consistent
         return h["membw"] < membw_floor or not (alu_floor <= h["alu"] <= 1.15)
 
+    budget = budget if budget is not None else {"waits": 8}
     hw = _hardware_scaling(n_lo, n_hi, secs=1.5)
-    waited = 0
-    while contended(hw) and waited < max_waits:
+    while contended(hw) and budget["waits"] > 0:
+        budget["waits"] -= 1
         log(f"    contended window (alu={hw['alu']:.2f} membw={hw['membw']:.2f})"
-            f" — waiting {wait_sec:.0f}s for calm ({waited + 1}/{max_waits})")
+            f" — waiting {wait_sec:.0f}s for calm ({budget['waits']} waits left)")
         time.sleep(wait_sec)
         hw = _hardware_scaling(n_lo, n_hi, secs=1.5)
-        waited += 1
     return hw
 
 
@@ -313,8 +315,9 @@ def main() -> None:
         # record the probe next to every rep either way
         runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
         probes: list[dict] = []
+        wait_budget = {"waits": 10}  # ≤ ~7.5 min of storm-waiting total
         for rep in range(SCALING_REPS):
-            hw_rep = _await_calm_window(n_lo, n_hi)
+            hw_rep = _await_calm_window(n_lo, n_hi, budget=wait_budget)
             probes.append({k: round(v, 3) for k, v in hw_rep.items()})
             for cores in (n_lo, n_hi):
                 r = _run_child(seg2, sev, cores)
