@@ -150,6 +150,19 @@ def q_cdc_stream_tail_final_state(spark: SparkSession, sf_dir: str) -> DataFrame
     return _final_payload(LakeTable.load(spark, t.path).read())
 
 
+def q_raw_table_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 end-to-end through the raw/final two-table path: append every
+    event version to an append-only raw table, dedupRawTable it, read the
+    user view — must equal the window-SQL replay (tombstoned keys absent)."""
+    from airbyte_custom_spark.lake.raw import dedup_raw_table
+
+    ev = events_from_table(spark, sf_dir)
+    raw = LakeTable.create(spark, _fresh_dir("rawt"), TRANSCRIPT_SCHEMA, num_buckets=8)
+    raw.append(ev)
+    dedup_raw_table(raw)
+    return _final_payload(raw.read())
+
+
 def q_incremental_cursor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/C4: cursor-filtered incremental read (cursor > saved state)."""
     ev = events_from_table(spark, sf_dir)
@@ -470,6 +483,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": q_cdc_final_state,
         "cdc_final_state_incremental": q_cdc_final_state_incremental,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
+        "raw_table_dedup": q_raw_table_dedup,
         "incremental_cursor_scan": q_incremental_cursor_scan,
         "full_refresh_scan": q_full_refresh_scan,
         "chunked_snapshot_plan": q_chunked_snapshot_plan,
@@ -520,6 +534,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": _ORACLE_FINAL,
         "cdc_final_state_incremental": _ORACLE_FINAL,
         "cdc_stream_tail_final_state": _ORACLE_FINAL,
+        # the raw/final path must converge to the same replayed state
+        "raw_table_dedup": _ORACLE_FINAL,
         "incremental_cursor_scan": f"""
             WITH ev AS ({ev})
             SELECT lsn, conv_id, turn_idx, op,

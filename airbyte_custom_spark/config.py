@@ -60,5 +60,10 @@ class IngestConfig:
     salt_buckets: int = 0
     # fail the batch if any pk column is null (`BigQuerySqlGenerator.java:391-416`)
     validate_pk: bool = True
+    # what to do with pk-violating rows when validate_pk is on:
+    #   "fail"   — reference T1 behavior: abort the sync;
+    #   "ignore" — reference A3 behavior: drop them, count them per batch
+    #              (`BufferedStreamConsumer.java:200-202,290-291`)
+    pk_violations: str = "fail"
     # capture per-partition lineage rows into the commit snapshot
     record_lineage: bool = True

@@ -64,6 +64,9 @@ class BatchMetrics:
     skipped: bool = False
     version: int | None = None
     touched_buckets: int = 0
+    # A3 ignored-record count (pk_violations="ignore" policy,
+    # `BufferedStreamConsumer.java:200-202,290-291` analog)
+    ignored: int = 0
 
     @property
     def events_per_sec(self) -> float:
@@ -93,6 +96,7 @@ class BatchMetricsLog:
                             "skipped": m.skipped,
                             "version": m.version,
                             "touched_buckets": m.touched_buckets,
+                            "ignored": m.ignored,
                             "wall_clock": time.time(),
                         }
                     )

@@ -147,11 +147,18 @@ class CdcIngestJob:
             )
             .collect()
         )
-        if self.config.validate_pk and sum(r["null_pk"] for r in stats) > 0:
-            raise NullPrimaryKeyError(
-                f"batch {batch_id} contains rows with NULL primary key "
-                f"column(s) {table.primary_key}"
-            )
+        ignored = 0
+        if self.config.validate_pk:
+            n_bad = sum(r["null_pk"] for r in stats)
+            if n_bad > 0 and self.config.pk_violations == "fail":
+                raise NullPrimaryKeyError(
+                    f"batch {batch_id} contains rows with NULL primary key "
+                    f"column(s) {table.primary_key}"
+                )
+            if n_bad > 0:
+                # A3 ignore policy: drop the violating rows, count them
+                ignored = n_bad
+                events = events.filter(~pk_null)
         touched = sorted({r["b"] for r in stats})
         lineage = None
         if self.config.record_lineage:
@@ -195,7 +202,7 @@ class CdcIngestJob:
             touched_buckets=touched,
         )
         elapsed = time.monotonic() - start
-        n = sum(r["events"] for r in stats)
+        n = sum(r["events"] for r in stats) - ignored
         self.metrics.record(
             BatchMetrics(
                 batch_id=batch_id,
@@ -204,6 +211,7 @@ class CdcIngestJob:
                 skipped=result.skipped,
                 version=result.version,
                 touched_buckets=len(result.touched_buckets),
+                ignored=ignored,
             )
         )
 

@@ -41,6 +41,34 @@ def test_bounded_tail_matches_replay(spark, env):
     assert len([b for b in metrics.batches if not b.skipped]) == 3  # 6 files / 2
 
 
+def test_pk_violations_ignore_policy(spark, tmp_path):
+    """A3: with pk_violations="ignore", null-pk rows are dropped and
+    counted per batch instead of failing the sync (T1 "fail" remains the
+    default, tested elsewhere)."""
+    from pyspark.sql import functions as F
+
+    events = change_events(spark, 1000, n_convs=20, max_turns=6)
+    # poison ~1% of rows with a NULL pk
+    poisoned = events.withColumn(
+        "conv_id", F.when(F.col("lsn") % 97 == 0, None).otherwise(F.col("conv_id"))
+    )
+    src = str(tmp_path / "seg")
+    write_event_chunks(poisoned, src, n_chunks=2)
+    table = LakeTable.create(spark, str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    job = CdcIngestJob(
+        spark, table.path, src, str(tmp_path / "ckpt"),
+        IngestConfig(pk_violations="ignore"),
+    )
+    metrics = job.run_available_now()
+    n_bad = poisoned.filter("conv_id IS NULL").count()
+    assert n_bad > 0
+    assert sum(b.ignored for b in metrics.batches) == n_bad
+    assert metrics.total_events == 1000 - n_bad
+    t = LakeTable.load(spark, table.path)
+    assert t.read().filter("conv_id IS NULL").count() == 0
+    assert_matches_replay(t.read(), poisoned.filter("conv_id IS NOT NULL"))
+
+
 def test_resume_from_checkpoint_no_loss_no_dup(spark, env):
     """Kill between micro-batches, restart from checkpoint: final state
     identical to an uninterrupted run."""
