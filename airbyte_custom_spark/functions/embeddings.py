@@ -139,9 +139,14 @@ def lsh_bucket_topk(
 
     d = banded(data, vec_col, [id_col, vec_col])
     q = banded(queries, query_vec_col, [query_id_col, query_vec_col])
+    # Cosine is computed MAP-SIDE, immediately after the broadcast join and
+    # before the (query_id, id) dedup exchange — so the only shuffle in the
+    # whole query carries three scalar columns, never a vector.  (Up to
+    # `bands` redundant cosine evals per colliding pair, traded for zero
+    # vector bytes through the exchange; the data side itself never
+    # shuffles at all.)
     cand = (
         d.join(F.broadcast(q), ["band", "bh"])
-        .dropDuplicates([query_id_col, id_col])
         .select(
             F.col(query_id_col),
             F.col(id_col),
@@ -149,6 +154,7 @@ def lsh_bucket_topk(
                 cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6
             ).alias("cosine"),
         )
+        .dropDuplicates([query_id_col, id_col])
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -169,36 +175,51 @@ def embedding_near_dups(
     seed: int = 42,
 ) -> DataFrame:
     """Dataset-internal near-duplicate vectors (cosine ≥ threshold),
-    candidates via banded hyperplane LSH self-join, verified exactly."""
+    candidates via banded hyperplane LSH self-join, verified exactly.
+
+    Payload discipline (round-3 scale fix, mirroring
+    ``minhash_lsh_candidates``): the ×bands explode and the banded
+    self-join carry ONLY (id, band, band_hash) — at 1536-dim the vectors
+    are ~12 KB/row and would otherwise ride the exchange ×bands×2.  The
+    embedding column joins back by id onto the already-deduplicated pair
+    list for the exact-cosine verification."""
     bits_per_band = n_planes // bands
     sig = lsh_signature(vec_col, dim, n_planes, seed)
-    s = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig"))
-    banded = s.select(
-        "_id",
-        "_v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("_sig"), i * bits_per_band)
-                        .bitwiseAND(F.lit((1 << bits_per_band) - 1))
-                        .alias("bh"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("_id", "_v", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    banded = (
+        df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+        .select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftrightunsigned(F.col("_sig"), i * bits_per_band)
+                            .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                            .alias("bh"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    )
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    pairs = (
         a.join(b, ["band", "bh"])
         .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.round(cosine_similarity(F.col("a._v"), F.col("b._v")), 6).alias("cosine"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    return (
+        pairs.join(vecs.alias("va"), F.col("id_a") == F.col("va._vid"))
+        .join(vecs.alias("vb"), F.col("id_b") == F.col("vb._vid"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va._v"), F.col("vb._v")), 6).alias("cosine"),
+        )
         .filter(F.col("cosine") >= cosine_threshold)
     )

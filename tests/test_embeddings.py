@@ -66,3 +66,38 @@ def test_embedding_near_dups_finds_planted_dup(spark, emb):
     got = {(r["id_a"], r["id_b"]) for r in dups.collect()}
     for r in planted.collect():
         assert (r["vec_id"] - 1_000_000, r["vec_id"]) in got
+
+
+def test_near_dups_banded_exchange_carries_no_vectors(spark, emb):
+    """The ×bands explode and banded self-join must shuffle only
+    (id, band, band_hash); embeddings join back by id onto the deduped
+    pair list (round-3 scale fix mirroring MinHash — at 1536-dim the
+    vector is ~12 KB/row and would ride the exchange ×bands×2)."""
+    from airbyte_custom_spark.plans.inspect import explain_str
+
+    dim = _dim(emb)
+    plan = explain_str(embedding_near_dups(emb, dim=dim, cosine_threshold=0.9))
+    for block in plan.split("\n\n"):
+        first = block.lstrip().splitlines()[0] if block.strip() else ""
+        if "Exchange" not in first:
+            continue
+        if "hashpartitioning(band" in block:
+            assert "_v#" not in block, block
+
+
+def test_lsh_bucket_topk_no_vector_crosses_exchange(spark, emb):
+    """lsh_bucket_topk's only shuffle is the (query_id, id) dedup +
+    ranking — cosine is computed map-side right after the broadcast join,
+    so no embedding array may appear in any shuffle exchange block and the
+    data side itself never hash-repartitions."""
+    from airbyte_custom_spark.plans.inspect import explain_str
+
+    dim = _dim(emb)
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = explain_str(lsh_bucket_topk(emb, queries, dim=dim, k=3))
+    for block in plan.split("\n\n"):
+        first = block.lstrip().splitlines()[0] if block.strip() else ""
+        if "Exchange hashpartitioning" in first:
+            assert "embedding#" not in block and "query_vec#" not in block, block
