@@ -42,6 +42,30 @@ def test_two_streams_one_checkpoint(spark, multi_env):
         assert_matches_replay(LakeTable.load(spark, p).read(), expect)
 
 
+def test_global_apply_is_single_pass_and_counts_rows(spark, multi_env, monkeypatch):
+    """Round-3 fix: N streams must NOT mean N scans of the micro-batch —
+    the batch persists once (DISK_ONLY) and every per-stream slice reads
+    the cached copy; BatchMetrics.events counts ROWS merged, not streams
+    (the round-2 metric bug)."""
+    from airbyte_custom_spark.plans.inspect import explain_str
+
+    tagged, src, paths, ckpt = multi_env
+    job = GlobalStateIngestJob(spark, paths, src, ckpt, IngestConfig())
+    slice_plans = []
+    orig = LakeTable.merge
+
+    def spy(self, df, *a, **kw):
+        slice_plans.append(explain_str(df, "simple"))
+        return orig(self, df, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "merge", spy)
+    job.run_available_now()
+    assert len(slice_plans) == 2
+    for plan in slice_plans:
+        assert "InMemoryTableScan" in plan, plan
+    assert job.metrics.total_events == tagged.count()
+
+
 def test_crash_between_stream_merges_is_exactly_once(spark, multi_env):
     tagged, src, paths, ckpt = multi_env
     job = GlobalStateIngestJob(
