@@ -359,11 +359,29 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs ≥ 0.9 over planted dups — full SQL oracle
-    (inverted-index self-join in both engines)."""
+    (inverted-index self-join in both engines).  cap=10,000 here means the
+    frequency cap never bites at oracle scale, so this checks the UNCAPPED
+    jaccard semantics; the production cap regime is checked separately by
+    ``dedup_ngram_jaccard_capped`` (at corpus scale keep the cap ≤ ~500 —
+    candidate volume is Σ_shingle min(freq, cap)²)."""
     from airbyte_custom_spark.functions.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
         _docs_with_planted_dups(spark, sf_dir), threshold=0.9, max_shingle_freq=10_000
+    )
+
+
+def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION cap regime of ngram_jaccard_pairs: shingles appearing
+    in more than 3 docs are dropped from candidate generation AND from the
+    intersection count (denominator sizes stay full-set) — the oracle
+    replicates the capped semantics exactly, so both the candidate pruning
+    and the capped-jaccard arithmetic are value-checked, not just the
+    never-bites cap=10,000 case."""
+    from airbyte_custom_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs_with_planted_dups(spark, sf_dir), threshold=0.5, max_shingle_freq=3
     )
 
 
@@ -499,6 +517,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_ann": q_embedding_lsh_ann,
@@ -627,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE group_size > 1
         """,
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(0.9),
+        "dedup_ngram_jaccard_capped": _ngram_jaccard_capped_oracle(0.5, 3),
         "doc_quality_lang": _quality_lang_oracle_sql(),
         "doc_fingerprints": _fingerprint_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
@@ -668,6 +688,48 @@ _DUP_DOCS_SQL = """
               WHERE doc_id % 100 = 0
             )
 """
+
+def _ngram_jaccard_capped_oracle(threshold: float, cap: int) -> str:
+    """DuckDB twin of ngram_jaccard_pairs WITH the frequency cap biting:
+    shingles with document frequency > cap are excluded from the inverted
+    index (so from both candidate generation and the intersection count),
+    while n_a/n_b stay full-set sizes — exactly the Spark semantics."""
+    return _DUP_DOCS_SQL + rf"""
+            , tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+              FROM all_docs
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(w) >= 3 THEN
+                         list_transform(generate_series(1, len(w) - 2),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                       ELSE [] END) AS shingles
+              FROM tok
+            ),
+            szd AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh
+                    WHERE len(shingles) > 0),
+            inv0 AS (SELECT doc_id, n, unnest(shingles) AS s FROM szd),
+            freq AS (SELECT s, count(*) AS df FROM inv0 GROUP BY s),
+            inv AS (SELECT inv0.* FROM inv0 JOIN freq USING (s)
+                    WHERE freq.df <= {cap}),
+            shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.n AS n_a, b.n AS n_b, count(*) AS cnt
+              FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            ),
+            jac AS (
+              SELECT id_a, id_b,
+                     round(cnt * 1.0 / (n_a + n_b - cnt), 6) AS jaccard
+              FROM shared
+            )
+            SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
+        """
+
 
 def _ngram_jaccard_oracle(threshold: float) -> str:
     """Exhaustive all-pairs 3-gram jaccard ≥ threshold over the planted-dup

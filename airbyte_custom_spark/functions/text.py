@@ -109,8 +109,16 @@ def h31(col: Column | str) -> Column:
     the DuckDB twin), unlike xxhash64/murmur3 which exist in only one
     engine.  Used wherever a hash VALUE must be oracle-checkable
     (fingerprints, simhash); xxhash64 stays in paths where only hash
-    EQUALITY matters (bucketing, minhash bands)."""
+    EQUALITY matters (bucketing, minhash bands).
+
+    Non-BMP characters (emoji, rare CJK — code points > U+FFFF) are
+    STRIPPED before hashing: Spark's ``ascii()`` returns the first UTF-16
+    code unit (a surrogate) for them while DuckDB's ``unicode()`` returns
+    the full code point, so they are the one class of character the two
+    engines disagree on.  Both sides strip identically, keeping the
+    bit-for-bit parity claim true on arbitrary text."""
     c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"[\x{10000}-\x{10FFFF}]", "")
     fold = F.aggregate(
         F.sequence(F.lit(1), F.length(c)),
         F.lit(0).cast("long"),
@@ -121,7 +129,9 @@ def h31(col: Column | str) -> Column:
 
 def h31_sql(expr: str) -> str:
     """DuckDB SQL computing exactly ``h31(expr)`` (list_reduce with the
-    first element as seed ≡ fold from 0, since 0*131+x = x)."""
+    first element as seed ≡ fold from 0, since 0*131+x = x; same non-BMP
+    strip as the Spark side — see ``h31``)."""
+    expr = f"regexp_replace({expr}, '[\\x{{10000}}-\\x{{10FFFF}}]', '', 'g')"
     return (
         f"CASE WHEN length({expr}) = 0 THEN 0 ELSE list_reduce("
         f"list_transform(generate_series(1, length({expr})),"

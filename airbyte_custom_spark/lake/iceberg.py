@@ -21,13 +21,21 @@ Semantics mapping:
   * layout → PARTITIONED BY (bucket(N, <first pk col>)) — Iceberg's bucket
     transform is single-column; the merge-on-read/copy-on-write choice and
     file sizing move to Iceberg table properties instead of our manifest.
+  * maintenance → compact = rewrite_data_files, expire_snapshots =
+    expire_snapshots + remove_orphan_files (age-guarded), tombstone GC =
+    a positional DELETE of old `_deleted` rows past the LSN watermark
+    (`IcebergConsumer.java:210-224` table-maintenance analog).
 """
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from airbyte_custom_spark.operators.dedupe import latest_by_reduce
+
+_META_COLS = ("_lsn", "_deleted")
 
 
 def iceberg_available(spark: SparkSession, catalog: str = "spark_catalog") -> bool:
@@ -44,20 +52,36 @@ def open_table(spark: SparkSession, path: str, ident: str | None = None, **creat
     """Factory: real Iceberg when the runtime is present, the parquet-
     snapshot LakeTable otherwise.  ``ident`` is the Iceberg table identifier
     (catalog.db.table); ``path`` is the LakeTable root used in the
-    fallback."""
+    fallback.  ``create_kw`` (primary_key, num_buckets, payload_schema, …)
+    applies to WHICHEVER branch is taken — in particular a non-default
+    ``primary_key`` reaches the Iceberg MERGE ON clause (round-2 bug: the
+    Iceberg branch silently kept the hardcoded default pk)."""
     from airbyte_custom_spark.lake.table import LakeTable
 
     if ident is not None and iceberg_available(spark, ident.split(".", 1)[0]):
-        return IcebergTable(spark, ident)
+        t = IcebergTable(
+            spark,
+            ident,
+            primary_key=tuple(create_kw.get("primary_key", ("conv_id", "turn_idx"))),
+        )
+        if "payload_schema" in create_kw:
+            t.create(
+                create_kw["payload_schema"],
+                num_buckets=create_kw.get("num_buckets", 16),
+            )
+        return t
     if LakeTable.exists(path):
         return LakeTable.load(spark, path)
     return LakeTable.create(spark, path, **create_kw)
 
 
 class IcebergTable:
-    """Minimal LakeTable-compatible surface over a real Iceberg table.
-    Constructed only when ``iceberg_available`` — every method body is
-    plain Spark SQL against the Iceberg catalog."""
+    """LakeTable-compatible surface over a real Iceberg table — same method
+    set the pipeline calls on LakeTable (merge / read / compact /
+    evolve_schema / soft_reset / gc_tombstones / expire_snapshots /
+    last_committed_batch), so `open_table` dispatch needs no call-site
+    changes.  Constructed only when ``iceberg_available`` — every method
+    body is plain Spark SQL against the Iceberg catalog."""
 
     def __init__(
         self,
@@ -68,6 +92,8 @@ class IcebergTable:
         self.spark = spark
         self.ident = ident
         self.primary_key = list(primary_key)
+
+    # ---------------------------------------------------------------- setup
 
     def create(self, payload_schema: T.StructType, num_buckets: int = 16) -> None:
         cols = ", ".join(
@@ -80,13 +106,31 @@ class IcebergTable:
             # merge-on-read keeps merge commits small; compaction is
             # rewrite_data_files (the IcebergConsumer.java:210-224 analog)
             "TBLPROPERTIES ('write.merge.mode'='merge-on-read', "
-            "'write.distribution-mode'='hash')"
+            "'write.distribution-mode'='hash', "
+            f"'acs.num_buckets'='{num_buckets}')"
         )
 
-    def last_committed_batch(self, query_id: str) -> int:
+    # ----------------------------------------------------------- properties
+
+    def _props(self) -> dict[str, str]:
         rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.ident}").collect()
-        props = {r["key"]: r["value"] for r in rows}
-        return int(props.get(f"acs.applied.{query_id}", -1))
+        return {r["key"]: r["value"] for r in rows}
+
+    def schema(self) -> T.StructType:
+        return self.spark.table(self.ident).schema
+
+    @property
+    def payload_columns(self) -> list[str]:
+        return [f.name for f in self.schema().fields if f.name not in _META_COLS]
+
+    @property
+    def num_buckets(self) -> int:
+        return int(self._props().get("acs.num_buckets", 16))
+
+    def last_committed_batch(self, query_id: str) -> int:
+        return int(self._props().get(f"acs.applied.{query_id}", -1))
+
+    # ---------------------------------------------------------------- merge
 
     def merge(
         self,
@@ -116,14 +160,20 @@ class IcebergTable:
             F.col("lsn").alias("_lsn"),
             F.col("_del").alias("_deleted"),
         )
-        src.createOrReplaceTempView("_acs_merge_src")
-        on = " AND ".join(f"t.{k} = s.{k}" for k in self.primary_key)
-        self.spark.sql(
-            f"MERGE INTO {self.ident} t USING _acs_merge_src s ON {on} "
-            "WHEN MATCHED AND (s._lsn > t._lsn OR (s._lsn = t._lsn AND s._deleted)) "
-            "THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+        # per-call unique view name: concurrent merges in one session (e.g.
+        # GlobalStateIngestJob streams) must not clobber each other's source
+        view = f"_acs_merge_src_{uuid.uuid4().hex[:12]}"
+        src.createOrReplaceTempView(view)
+        try:
+            on = " AND ".join(f"t.{k} = s.{k}" for k in self.primary_key)
+            self.spark.sql(
+                f"MERGE INTO {self.ident} t USING {view} s ON {on} "
+                "WHEN MATCHED AND (s._lsn > t._lsn OR (s._lsn = t._lsn AND s._deleted)) "
+                "THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
         if batch_id is not None:
             # best-effort fast replay skip; correctness does not depend on
             # it — re-applying a batch is a state no-op (max-lsn wins)
@@ -133,20 +183,109 @@ class IcebergTable:
             )
         return batch_id
 
-    def read(self, include_deleted: bool = False) -> DataFrame:
+    def read(self, include_deleted: bool = False, include_meta: bool = False) -> DataFrame:
         df = self.spark.table(self.ident)
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        if not include_meta:
+            df = df.drop(*_META_COLS)
         return df
 
-    def compact(self) -> None:
+    # ------------------------------------------------------- schema evolve
+
+    def evolve_schema(self, new_payload: T.StructType) -> None:
+        """E1-E2 in-place evolution with LakeTable's rules: ADD COLUMN for
+        new fields, ALTER COLUMN TYPE for widenings (Iceberg id-based
+        columns make both metadata-only); drops and narrowings raise — use
+        ``soft_reset`` (T8), matching `operators/schema_evo.py` policy."""
+        from airbyte_custom_spark.lake.table import SchemaEvolutionError, _is_widening
+
+        cur = {f.name: f for f in self.schema().fields if f.name not in _META_COLS}
+        inc = {f.name: f for f in new_payload.fields}
+        for name in cur:
+            if name not in inc:
+                raise SchemaEvolutionError(f"column `{name}` dropped — use soft_reset")
+        stmts = []
+        for name, f in inc.items():
+            if name not in cur:
+                stmts.append(
+                    f"ALTER TABLE {self.ident} ADD COLUMN "
+                    f"{name} {f.dataType.simpleString()}"
+                )
+            elif f.dataType != cur[name].dataType:
+                if not _is_widening(cur[name].dataType, f.dataType):
+                    raise SchemaEvolutionError(
+                        f"column `{name}`: {cur[name].dataType.simpleString()} → "
+                        f"{f.dataType.simpleString()} is not a widening — use soft_reset"
+                    )
+                stmts.append(
+                    f"ALTER TABLE {self.ident} ALTER COLUMN "
+                    f"{name} TYPE {f.dataType.simpleString()}"
+                )
+        for s in stmts:
+            self.spark.sql(s)
+
+    def soft_reset(
+        self, new_payload: T.StructType, rename_map: dict[str, str] | None = None
+    ) -> None:
+        """T8: rebuild under an incompatible schema from current rows
+        (tombstones included, so delete semantics survive the reset) —
+        `BigQuerySqlGenerator.java:322-335` analog via REPLACE TABLE AS
+        SELECT, which is a single atomic Iceberg commit."""
+        rows = self.read(include_deleted=True, include_meta=True)
+        for old, new in (rename_map or {}).items():
+            rows = rows.withColumnRenamed(old, new)
+        cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in rows.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in new_payload.fields
+        ] + [F.col("_lsn"), F.col("_deleted")]
+        aligned = rows.select(*cols)
+        view = f"_acs_soft_reset_{uuid.uuid4().hex[:12]}"
+        aligned.createOrReplaceTempView(view)
+        nb = self.num_buckets
+        try:
+            self.spark.sql(
+                f"REPLACE TABLE {self.ident} USING iceberg "
+                f"PARTITIONED BY (bucket({nb}, {self.primary_key[0]})) "
+                "TBLPROPERTIES ('write.merge.mode'='merge-on-read', "
+                "'write.distribution-mode'='hash', "
+                f"'acs.num_buckets'='{nb}') "
+                f"AS SELECT * FROM {view}"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
+
+    # ---------------------------------------------------------- maintenance
+
+    def compact(self, **_ignored) -> None:
         catalog = self.ident.split(".", 1)[0]
         self.spark.sql(
             f"CALL {catalog}.system.rewrite_data_files(table => '{self.ident}')"
         )
 
-    def evolve_schema(self, added: list[tuple[str, str]]) -> None:
-        """E2 in-place evolution — Iceberg ALTER TABLE (id-based columns
-        make add/widen metadata-only, same as LakeTable's schema registry)."""
-        for name, typ in added:
-            self.spark.sql(f"ALTER TABLE {self.ident} ADD COLUMN {name} {typ}")
+    def gc_tombstones(self, lsn_watermark: int) -> None:
+        """Physically drop tombstones with _lsn < watermark (safe once every
+        source partition has passed it — no staler update can arrive);
+        merge-on-read makes this a delete-file commit, not a rewrite."""
+        self.spark.sql(
+            f"DELETE FROM {self.ident} "
+            f"WHERE _deleted AND _lsn < {int(lsn_watermark)}"
+        )
+
+    def expire_snapshots(
+        self, retain_last: int = 2, remove_orphans: bool = False, **_ignored
+    ) -> None:
+        """Iceberg's own expireSnapshots / removeOrphanFiles pair; orphan
+        removal keeps Iceberg's default 3-day older_than guard (same reason
+        as LakeTable.expire_snapshots's orphan_min_age_sec)."""
+        catalog = self.ident.split(".", 1)[0]
+        self.spark.sql(
+            f"CALL {catalog}.system.expire_snapshots("
+            f"table => '{self.ident}', retain_last => {int(retain_last)})"
+        )
+        if remove_orphans:
+            self.spark.sql(
+                f"CALL {catalog}.system.remove_orphan_files(table => '{self.ident}')"
+            )

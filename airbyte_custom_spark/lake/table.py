@@ -77,6 +77,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
@@ -182,7 +183,16 @@ class LakeTable:
             with open(os.path.join(path, _META_DIR, _VERSION_FILE)) as f:
                 version = int(f.read().strip())
         with open(os.path.join(path, _META_DIR, f"snap-v{version}.json")) as f:
-            return LakeTable(spark, path, json.load(f))
+            snap = json.load(f)
+        if "manifests" not in snap:
+            # pre-manifest snapshot layout (flat "files" list): unsupported —
+            # fail loudly at load instead of KeyError on first read/write
+            raise ValueError(
+                f"table at {path!r} uses the legacy flat-'files' snapshot "
+                "layout (pre-manifest format); re-create it or re-ingest — "
+                "this engine reads only sharded-manifest snapshots"
+            )
+        return LakeTable(spark, path, snap)
 
     # ---------------------------------------------------- manifest resolution
 
@@ -303,13 +313,7 @@ class LakeTable:
         (carried forward by every commit — a compact/evolve/gc commit in
         between no longer blinds the C7 stale-offset guard, which it did
         when this was derived from the last commit's lineage only)."""
-        high = self.snapshot.get("applied_lsn_high")
-        if high is not None:
-            return high
-        # legacy snapshots: fall back to the last commit's lineage
-        lineage = self.snapshot.get("lineage") or []
-        highs = [p["max_lsn"] for p in lineage if p.get("max_lsn") is not None]
-        return max(highs) if highs else None
+        return self.snapshot.get("applied_lsn_high")
 
     def history(self) -> list[dict[str, Any]]:
         out = []
@@ -797,7 +801,10 @@ class LakeTable:
         return snap["version"]
 
     def expire_snapshots(
-        self, retain_last: int = 2, remove_orphans: bool = False
+        self,
+        retain_last: int = 2,
+        remove_orphans: bool = False,
+        orphan_min_age_sec: float = 3 * 24 * 3600,
     ) -> dict[str, int]:
         """Drop snapshot metadata older than the newest ``retain_last``
         versions and physically delete data files + manifest shards no
@@ -809,7 +816,12 @@ class LakeTable:
         ``remove_orphans`` additionally sweeps data/ for files referenced
         by NO retained snapshot at all — this is what reclaims the output
         of a commit that wrote data and then failed before its snapshot
-        landed (the copy-on-write failure mode)."""
+        landed (the copy-on-write failure mode).  Files younger than
+        ``orphan_min_age_sec`` are NEVER swept: an in-flight concurrent
+        writer stages data files BEFORE its snapshot commits, so an
+        age-blind sweep would delete a live commit's fresh output and
+        silently lose data — the same guard as Iceberg removeOrphanFiles'
+        ``older_than`` (default 3 days)."""
         meta = os.path.join(self.path, _META_DIR)
         versions = sorted(
             int(n[len("snap-v"):-len(".json")])
@@ -855,11 +867,16 @@ class LakeTable:
         orphans = 0
         if remove_orphans:
             data_root = os.path.join(self.path, _DATA_DIR)
+            sweep_before = time.time() - orphan_min_age_sec
             for root, _dirs, names in os.walk(data_root, topdown=False):
                 for name in names:
                     full = os.path.join(root, name)
                     rel = os.path.relpath(full, self.path)
-                    if name.endswith(".parquet") and rel not in live_files:
+                    if (
+                        name.endswith(".parquet")
+                        and rel not in live_files
+                        and os.path.getmtime(full) <= sweep_before
+                    ):
                         os.remove(full)
                         orphans += 1
                 if not os.listdir(root):

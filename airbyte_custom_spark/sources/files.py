@@ -16,6 +16,25 @@ from airbyte_custom_spark.schema import CDC_EVENT_SCHEMA
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """True when the `spark-avro` module is on the session classpath.
+    Spark ships Avro as an EXTERNAL module (`--packages
+    org.apache.spark:spark-avro_2.13:<version>`); this image has only the
+    avro core jars, so the branch is exercised on clusters that add the
+    module (reference parser:
+    `airbyte-cdk/.../file_based/file_types/avro_parser.py`)."""
+    try:
+        # the registration check Spark itself uses — mere presence of the
+        # AvroFileFormat CLASS is not enough (this image ships the class
+        # but not the ServiceLoader registration, and reads still fail)
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(  # type: ignore[union-attr]
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
 def read_events(
     spark: SparkSession,
     path: str,
@@ -50,7 +69,20 @@ def read_events(
             .option("timestampFormat", _TS_FMT)
             .csv(path)
         )
-    raise ValueError(f"unsupported format: {fmt} (parquet|jsonl|csv)")
+    if fmt == "avro":
+        if not avro_available(spark):
+            raise RuntimeError(
+                "avro format requires the spark-avro module jar "
+                "(org.apache.spark:spark-avro_2.13) on the classpath — not "
+                "present in this image; add it via spark-submit --packages"
+            )
+        # Avro carries its own schema per file; the declared schema is
+        # enforced by projection+cast on read (S10 explicit-schema rule)
+        df = spark.read.format("avro").load(path)
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+    raise ValueError(f"unsupported format: {fmt} (parquet|jsonl|csv|avro)")
 
 
 def write_events(df: DataFrame, path: str, fmt: str = "parquet") -> None:
@@ -65,6 +97,14 @@ def write_events(df: DataFrame, path: str, fmt: str = "parquet") -> None:
             .option("timestampFormat", _TS_FMT)
             .csv(path)
         )
+    elif fmt == "avro":
+        if not avro_available(df.sparkSession):
+            raise RuntimeError(
+                "avro format requires the spark-avro module jar "
+                "(org.apache.spark:spark-avro_2.13) on the classpath — not "
+                "present in this image; add it via spark-submit --packages"
+            )
+        df.write.mode("overwrite").format("avro").save(path)
     else:
         raise ValueError(f"unsupported format: {fmt}")
 

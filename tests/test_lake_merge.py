@@ -234,7 +234,15 @@ def test_expire_snapshots_reclaims_dead_files(spark, tmp_path):
     orphan_dir.mkdir(parents=True)
     (orphan_dir / "junk.parquet").write_bytes(b"not really parquet")
 
-    stats = t.expire_snapshots(retain_last=2, remove_orphans=True)
+    # a FRESH unreferenced file is an in-flight writer's staged output:
+    # the default (Iceberg older_than-style) age guard must leave it alone
+    guarded = t.expire_snapshots(retain_last=4, remove_orphans=True)
+    assert guarded["removed_orphans"] == 0
+    assert (orphan_dir / "junk.parquet").exists()
+
+    stats = t.expire_snapshots(
+        retain_last=2, remove_orphans=True, orphan_min_age_sec=0
+    )
     assert stats["expired_snapshots"] >= 2
     assert stats["removed_files"] + stats["removed_orphans"] > 0
     assert stats["removed_orphans"] >= 1
@@ -255,3 +263,18 @@ def test_generator_replay_end_to_end(spark, tmp_path):
     for i, (lo, hi) in enumerate([(0, 3000), (3000, 6000), (6000, 9000)]):
         t.merge(events.filter(f"lsn > {lo} and lsn <= {hi}"), batch_id=i)
     assert_matches_replay(t.read(), events)
+
+
+def test_legacy_flat_files_snapshot_refuses_to_load(spark, tmp_path):
+    """Pre-manifest snapshots (flat 'files' list) fail at LOAD with a clear
+    message instead of KeyError on first read/write."""
+    import json
+
+    t = fresh_table(spark, tmp_path, num_buckets=2)
+    snap_path = tmp_path / "tbl" / "_meta" / f"snap-v{t.version}.json"
+    snap = json.loads(snap_path.read_text())
+    snap["files"] = []
+    del snap["manifests"]
+    snap_path.write_text(json.dumps(snap))
+    with pytest.raises(ValueError, match="legacy flat-'files'"):
+        LakeTable.load(spark, str(tmp_path / "tbl"))

@@ -85,3 +85,30 @@ def test_table_stats(spark, tmp_path):
     assert s["rows"] == 20
     assert s["files"] >= 1 and s["bytes"] > 0
     assert s["max_files_per_bucket"] == 1
+
+
+def test_avro_roundtrip_or_documented_gate(spark, tmp_path):
+    """S10 Avro: real roundtrip when the spark-avro module jar is present
+    (cluster case); without it, read/write fail with a clear actionable
+    error naming the missing jar instead of an opaque ClassNotFound."""
+    import pytest
+
+    from airbyte_custom_spark.sources.files import (
+        avro_available,
+        read_events,
+        write_events,
+    )
+    from airbyte_custom_spark.sources.generator import change_events
+
+    ev = change_events(spark, 200, n_convs=10)
+    path = str(tmp_path / "ev_avro")
+    if avro_available(spark):
+        write_events(ev, path, fmt="avro")
+        back = read_events(spark, path, fmt="avro")
+        assert back.count() == 200
+        assert {f.name for f in back.schema.fields} >= {"conv_id", "turn_idx", "lsn", "op"}
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            write_events(ev, path, fmt="avro")
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            read_events(spark, path, fmt="avro")

@@ -96,3 +96,30 @@ def test_all_functions_run_on_documents(spark, sf_dir):
     )
     assert out.count() == d.count()
     assert out.filter(F.col("n_tok") <= 0).count() == 0
+
+
+def test_h31_duckdb_parity_including_non_bmp(spark):
+    """h31 / h31_sql are bit-identical across engines on ANY text: non-BMP
+    characters (where Spark ascii() yields a UTF-16 surrogate but DuckDB
+    unicode() yields the code point) are stripped identically on both
+    sides (round-2 ADVICE fix)."""
+    import duckdb
+
+    from airbyte_custom_spark.functions.text import h31, h31_sql
+
+    rows = [
+        ("plain ascii",),
+        ("café naïve",),
+        ("emoji 🎉 mix 🚀 end",),
+        ("𝕊𝕦𝕡𝕡",),  # entirely non-BMP → hashes as empty on both sides
+        ("",),
+        ("中文 text",),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    got = [r[0] for r in df.select(h31("s")).collect()]
+    con = duckdb.connect()
+    con.execute("create table t(i int, s varchar)")
+    for i, (s,) in enumerate(rows):
+        con.execute("insert into t values (?, ?)", [i, s])
+    want = [r[0] for r in con.execute(f"select {h31_sql('s')} from t order by i").fetchall()]
+    assert got == want
