@@ -677,14 +677,24 @@ class LakeTable:
         fpb = int(self.snapshot.get("files_per_bucket", 1))
         conf = self.spark.conf
         prev_shuffle = conf.get("spark.sql.shuffle.partitions")
+        prev_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
         try:
             if aligned:
                 conf.set(
                     "spark.sql.shuffle.partitions", str(self.num_buckets * fpb)
                 )
+                # AQE partition coalescing would silently re-merge the
+                # pinned exchange (observed 64 → 22 tasks), collapsing the
+                # reducer↔bucket alignment AND the files_per_bucket hot-
+                # bucket smoothing — the partition count here is a layout
+                # contract, not a sizing hint
+                conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
             new_ref = self._write_data(merged, snap, layout_partitioned=aligned)
         finally:
             conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+            conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce
+            )
             if cached is not None:
                 cached.unpersist()
         snap["manifests"] = carried + [new_ref]
