@@ -426,6 +426,31 @@ def q_embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(e, queries, dim=dim, k=5)
 
 
+def q_embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-k (the second SURVEY 'scale path' beside LSH):
+    data vectors live in the inverted list of their nearest centroid,
+    queries probe their 3 nearest of 16 lists, exact-cosine re-rank on
+    candidates only.  Uses the seeded RANDOM (untrained) quantizer so the
+    oracle can inline identical centroid constants; assignment ties break
+    to the lower list id in both engines, and dots/cosines use the same
+    strict left folds.  The trained k-means quantizer (`ivf_centroids`)
+    is pytest-covered for recall."""
+    from airbyte_custom_spark.functions.embeddings import (
+        ivf_random_centroids,
+        ivf_topk,
+    )
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(e.select("embedding").first()[0])
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = ivf_random_centroids(dim, 16, seed=42)
+    return ivf_topk(
+        e, queries, dim=dim, k=5, n_lists=16, nprobe=3, centroids=cents
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over planted duplicate vectors.
     Full oracle: at threshold 0.999 on random gaussian vectors the only
@@ -521,6 +546,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_ann": q_embedding_lsh_ann,
+        "embedding_ivf_ann": q_embedding_ivf_ann,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_features": q_multimodal_features,
     }
@@ -656,6 +682,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _ngram_jaccard_oracle(0.9),
         "embedding_near_dups": _EMB_NEAR_DUP_ORACLE,
         "embedding_lsh_ann": _lsh_ann_oracle_sql(),
+        "embedding_ivf_ann": _ivf_ann_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
         "embedding_topk": """
             WITH q AS (
@@ -984,6 +1011,83 @@ def _lsh_ann_oracle_sql(
             )
             SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
     """
+
+
+def _ivf_ann_oracle_sql(
+    dim: int = 64, n_lists: int = 16, nprobe: int = 3, k: int = 5, seed: int = 42
+) -> str:
+    """Full-parity oracle for the IVF ANN: the seeded random unit
+    centroids are inlined as literals; list assignment (argmax dot, ties
+    to the LOWER list id) and the query's top-``nprobe`` probe lists use
+    the SAME strict left-fold dot product as Spark's `_dot`, so the
+    candidate sets are identical; the cosine re-rank reuses the
+    embedding_topk oracle's fold-exact arithmetic."""
+    from airbyte_custom_spark.functions.embeddings import ivf_random_centroids
+
+    cents = ivf_random_centroids(dim, n_lists, seed)
+    rows = ",\n              ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in cents[j])}]::DOUBLE[])"
+        for j in range(n_lists)
+    )
+    return f"""
+            WITH ce(j, p) AS (VALUES
+              {rows}),
+            dots AS (
+              SELECT e.vec_id, ce.j,
+                     list_reduce(
+                       list_transform(generate_series(1, {dim}),
+                                      i -> CAST(e.embedding[i] AS DOUBLE) * ce.p[i]),
+                       (a, x) -> a + x) AS dot
+              FROM embeddings e CROSS JOIN ce
+            ),
+            assign AS (
+              SELECT vec_id, j FROM (
+                SELECT vec_id, j, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dot DESC, j ASC) AS rn
+                FROM dots) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT vec_id AS query_id, j FROM (
+                SELECT vec_id, j, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dot DESC, j ASC) AS rn
+                FROM dots WHERE vec_id < 5) WHERE rn <= {nprobe}
+            ),
+            cand AS (
+              SELECT DISTINCT q.query_id, d.vec_id
+              FROM probes q JOIN assign d USING (j)
+            ),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     round(CASE WHEN den > 0 THEN dotp / den ELSE 0.0 END, 6)
+                         AS cosine
+              FROM (
+                SELECT c.query_id, c.vec_id,
+                       list_reduce(list_transform(generate_series(1, {dim}),
+                         i -> CAST(e.embedding[i] AS DOUBLE)
+                              * CAST(qe.embedding[i] AS DOUBLE)),
+                         (a, x) -> a + x) AS dotp,
+                       sqrt(list_reduce(list_transform(generate_series(1, {dim}),
+                         i -> CAST(e.embedding[i] AS DOUBLE)
+                              * CAST(e.embedding[i] AS DOUBLE)),
+                         (a, x) -> a + x))
+                       * sqrt(list_reduce(list_transform(generate_series(1, {dim}),
+                         i -> CAST(qe.embedding[i] AS DOUBLE)
+                              * CAST(qe.embedding[i] AS DOUBLE)),
+                         (a, x) -> a + x)) AS den
+                FROM cand c
+                JOIN embeddings e ON e.vec_id = c.vec_id
+                JOIN embeddings qe ON qe.vec_id = c.query_id
+              ) c
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+                     ) AS INT) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {k}
+        """
 
 
 def _multimodal_oracle_sql(n: int = 256, seed: int = 42) -> str:

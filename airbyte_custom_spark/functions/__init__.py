@@ -26,4 +26,7 @@ from airbyte_custom_spark.functions.embeddings import (  # noqa: F401
     brute_force_topk,
     lsh_bucket_topk,
     embedding_near_dups,
+    ivf_centroids,
+    ivf_random_centroids,
+    ivf_topk,
 )

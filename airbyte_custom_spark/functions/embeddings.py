@@ -223,3 +223,143 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= cosine_threshold)
     )
+# IVF (inverted-file) approximate nearest neighbor
+# ---------------------------------------------------------------------------
+
+
+def ivf_random_centroids(dim: int, n_lists: int, seed: int = 42) -> list[list[float]]:
+    """Seeded random unit-norm centroids — the untrained coarse quantizer.
+    Data-independent (like the LSH hyperplanes), so an external oracle can
+    inline the identical constants; recall is below a trained quantizer's
+    but the IVF mechanics (assignment, probing, re-rank) are identical."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_lists, dim))
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return c.tolist()
+
+
+def ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Trained coarse-quantizer centroids: deterministic spherical k-means
+    (Lloyd's on L2-normalized vectors) over a bounded driver-side sample
+    (ordered by id — stable across runs).  The IVF split at 100 TB: a tiny
+    global model trained once on the driver, assignment fully distributed
+    as JVM expressions — the corpus itself never funnels anywhere."""
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(sample)
+        .collect()
+    )
+    x = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents.tolist()
+
+
+def ivf_assign(
+    vec_col: Column | str, centroids: list[list[float]], rank: int = 1
+) -> Column:
+    """List id of the ``rank``-th nearest centroid by dot product
+    (centroids are unit-norm, so argmax dot ≡ argmax cosine).  Pure JVM
+    expressions over ONE inlined nested-array literal (the
+    ``lsh_signature`` plan-size discipline); ordering is (dot DESC,
+    list id ASC) — the tie rule the DuckDB oracle replicates."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = F.transform(v, lambda x: x.cast("double"))
+    cents = F.lit(centroids).cast("array<array<double>>")
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    scored = F.zip_with(
+        cents, idx, lambda c, i: F.struct(_dot(v, c).alias("s"), i.alias("i"))
+    )
+    ordered = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["s"] > b["s"], F.lit(-1))
+        .when(a["s"] < b["s"], F.lit(1))
+        .otherwise(F.signum(a["i"] - b["i"]).cast("int")),
+    )
+    return ordered[rank - 1]["i"]
+
+
+def ivf_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat approximate top-k: each data vector lives in the inverted
+    list of its nearest centroid; a query probes its ``nprobe`` nearest
+    lists and exact-cosine re-ranks only those lists' members.
+
+    Scale shape: the corpus is tagged with ONE list id map-side (no
+    shuffle); the broadcast query side carries nprobe probe rows per
+    query; candidate volume shrinks to ~nprobe/n_lists of the corpus.
+    Cosine is computed map-side right after the broadcast join, so (as in
+    ``lsh_bucket_topk``) no vector ever crosses an exchange — the only
+    shuffle carries (query_id, id, cosine) scalars."""
+    if centroids is None:
+        centroids = ivf_centroids(
+            data, dim, n_lists=n_lists, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    tagged = data.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_assign(vec_col, centroids).alias("list_id"),
+    )
+    probes = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.explode(
+            F.array(
+                *[
+                    ivf_assign(query_vec_col, centroids, rank=r)
+                    for r in range(1, min(nprobe, len(centroids)) + 1)
+                ]
+            )
+        ).alias("list_id"),
+    )
+    cand = (
+        tagged.join(F.broadcast(probes), "list_id")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col(query_vec_col)), 6
+            ).alias("cosine"),
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -9,6 +9,9 @@ from airbyte_custom_spark.functions.embeddings import (
     brute_force_topk,
     cosine_similarity,
     embedding_near_dups,
+    ivf_centroids,
+    ivf_random_centroids,
+    ivf_topk,
     lsh_bucket_topk,
 )
 
@@ -97,6 +100,49 @@ def test_lsh_bucket_topk_no_vector_crosses_exchange(spark, emb):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     plan = explain_str(lsh_bucket_topk(emb, queries, dim=dim, k=3))
+    for block in plan.split("\n\n"):
+        first = block.lstrip().splitlines()[0] if block.strip() else ""
+        if "Exchange hashpartitioning" in first:
+            assert "embedding#" not in block and "query_vec#" not in block, block
+
+
+def test_ivf_trained_recall_and_self_match(spark, emb):
+    """IVF with TRAINED centroids (deterministic spherical k-means on a
+    bounded driver sample): every query's self-vector is recalled (it
+    lives in the probed nearest list by construction), and recall vs the
+    exact brute force is reasonable at nprobe=4/16."""
+    dim = _dim(emb)
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, dim=dim, k=5, n_lists=16, nprobe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    for r in queries.collect():
+        assert (r["query_id"], r["query_id"]) in a  # self always recalled
+    assert len(e & a) / len(e) >= 0.5, f"IVF recall too low: {len(e & a) / len(e)}"
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    dim = _dim(emb)
+    c1 = ivf_centroids(emb, dim, n_lists=8, sample=256)
+    c2 = ivf_centroids(emb, dim, n_lists=8, sample=256)
+    assert c1 == c2
+
+
+def test_ivf_no_vector_crosses_exchange(spark, emb):
+    """Same payload discipline as lsh_bucket_topk: the corpus is tagged
+    map-side, cosine computed before the (query_id, id) dedup — no
+    embedding array in any hash-partition exchange."""
+    from airbyte_custom_spark.plans.inspect import explain_str
+
+    dim = _dim(emb)
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = ivf_random_centroids(dim, 8)
+    plan = explain_str(ivf_topk(emb, queries, dim=dim, k=3, centroids=cents))
     for block in plan.split("\n\n"):
         first = block.lstrip().splitlines()[0] if block.strip() else ""
         if "Exchange hashpartitioning" in first:
