@@ -150,6 +150,31 @@ def q_cdc_stream_tail_final_state(spark: SparkSession, sf_dir: str) -> DataFrame
     return _final_payload(LakeTable.load(spark, t.path).read())
 
 
+def q_json_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-JSON-envelope replay end-to-end: typed events packed into the
+    `_airbyte_data`-style payload string, streamed through
+    `JsonCdcIngestJob` (per-batch Arrow schema inference + typed try_cast
+    extraction + merge) — the final state must equal the plain window-SQL
+    replay, proving the JSON roundtrip is value-exact for every payload
+    type including timestamps."""
+    from airbyte_custom_spark.sources.generator import json_envelope
+    from airbyte_custom_spark.streaming.pipeline import JsonCdcIngestJob
+
+    ev = events_from_table(spark, sf_dir)
+    src = _fresh_dir("jsonwal")
+    write_event_chunks(json_envelope(ev), src, n_chunks=4)
+    t = LakeTable.create(spark, _fresh_dir("jsontbl"), TRANSCRIPT_SCHEMA, num_buckets=16)
+    job = JsonCdcIngestJob(
+        spark,
+        t.path,
+        src,
+        _fresh_dir("jsonckpt"),
+        IngestConfig(max_files_per_trigger=2),
+    )
+    job.run_available_now()
+    return _final_payload(LakeTable.load(spark, t.path).read())
+
+
 def q_raw_table_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 end-to-end through the raw/final two-table path: append every
     event version to an append-only raw table, dedupRawTable it, read the
@@ -524,6 +549,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_flatten_events": q_cdc_flatten_events,
         "cdc_latest_per_key": q_cdc_latest_per_key,
         "cdc_final_state": q_cdc_final_state,
+        "json_cdc_final_state": q_json_cdc_final_state,
         "cdc_final_state_incremental": q_cdc_final_state_incremental,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
         "raw_table_dedup": q_raw_table_dedup,
@@ -577,6 +603,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, lsn, op, text FROM ranked WHERE rn = 1
         """,
         "cdc_final_state": _ORACLE_FINAL,
+        "json_cdc_final_state": _ORACLE_FINAL,
         "cdc_final_state_incremental": _ORACLE_FINAL,
         "cdc_stream_tail_final_state": _ORACLE_FINAL,
         # the raw/final path must converge to the same replayed state

@@ -62,6 +62,24 @@ CDC_EVENT_SCHEMA = T.StructType(
     ]
 )
 
+# Raw-JSON CDC envelope: the CDC ordering/metadata columns plus ONE opaque
+# JSON string column holding the record fields — the reference's raw-table
+# `_airbyte_data STRING(JSON)` shape (`JavaBaseConstants.java:29-39`,
+# `docs/understanding-airbyte/typing-deduping.md:5-70`).  Consumed by
+# `streaming.pipeline.JsonCdcIngestJob`, which runs the Arrow-vectorized
+# schema-inference + diff + in-place evolution + typed-cast stage per batch.
+
+JSON_CDC_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("payload", T.StringType(), True),
+        T.StructField("_ab_cdc_updated_at", T.TimestampType(), True),
+        T.StructField("_ab_cdc_deleted_at", T.TimestampType(), True),
+        T.StructField("source_partition", T.IntegerType(), True),
+    ]
+)
+
 # Engine metadata columns stored in the lake table, mirroring the reference's
 # final-table meta `_airbyte_raw_id, _airbyte_extracted_at, _airbyte_meta`
 # (`bases/base-java/.../JavaBaseConstants.java:40-43`) plus the row version

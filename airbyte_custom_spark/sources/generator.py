@@ -105,6 +105,30 @@ def change_events(
     return out
 
 
+def json_envelope(events_df: DataFrame) -> DataFrame:
+    """Typed CDC events → the raw-JSON envelope (`JSON_CDC_EVENT_SCHEMA`):
+    every non-envelope column is packed into ONE ``payload`` JSON string —
+    the reference's `_airbyte_data` raw column.  ``to_json`` omits NULL
+    fields, so a delete's payload carries only the primary key, exactly
+    like Debezium delete records (`cdc.md:29`)."""
+    env = ["lsn", "op", "_ab_cdc_updated_at", "_ab_cdc_deleted_at", "source_partition"]
+    payload_cols = [c for c in events_df.columns if c not in env]
+    return events_df.select(
+        *[F.col(c) for c in env if c in events_df.columns],
+        F.to_json(
+            F.struct(*[F.col(c) for c in payload_cols]),
+            # microsecond precision for BOTH timestamp flavors: the
+            # defaults truncate to millis, silently losing cursor/ts
+            # precision (parquet-sourced columns arrive as TIMESTAMP_NTZ,
+            # which to_json formats via timestampNTZFormat)
+            {
+                "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+                "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+            },
+        ).alias("payload"),
+    )
+
+
 def write_event_chunks(
     df: DataFrame, path: str, n_chunks: int, lsn_col: str = "lsn"
 ) -> list[str]:

@@ -146,6 +146,13 @@ class CdcIngestJob:
             return batch_df
         return self.spark.read.schema(self._stream_schema()).parquet(*files)
 
+    def _transform_batch(self, events: DataFrame, table: LakeTable) -> DataFrame:
+        """Per-batch transform hook, applied before validation/stats/merge.
+        The base job ingests already-typed events; `JsonCdcIngestJob`
+        overrides this with the schema-inference + evolution + typed-cast
+        stage."""
+        return events
+
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         start = time.monotonic()
         self._batches_run += 1
@@ -164,6 +171,7 @@ class CdcIngestJob:
         events = self._resolve_batch(batch_df, batch_id)
         if self.target_lsn is not None:
             events = events.filter(F.col("lsn") <= F.lit(self.target_lsn))
+        events = self._transform_batch(events, table)
 
         # ONE metadata aggregation replaces three separate jobs (validate /
         # lineage / touched-buckets): group by (source_partition, bucket) —
@@ -342,6 +350,76 @@ class CdcIngestJob:
             raise
         await_with_liveness(self.spark, q, watchdog, timeout_sec)
         return self.metrics
+
+
+class JsonCdcIngestJob(CdcIngestJob):
+    """Raw-JSON-envelope CDC ingest: the source emits the CDC envelope
+    (lsn/op/_ab_cdc_*/source_partition) plus ONE opaque ``payload`` JSON
+    string — the reference's raw-table `_airbyte_data` column
+    (`JavaBaseConstants.java:29-39`, `typing-deduping.md:5-70`).  Per
+    micro-batch, before the normal validate→reduce→merge path:
+
+      1. **Arrow-vectorized schema inference** over a bounded payload
+         sample (`operators/schema_evo.py::infer_payload_schema` — the
+         north star's "vectorized Arrow-based schema-diff stage");
+      2. **diff + in-place evolution** against the table: NEW payload
+         columns evolve the table schema mid-stream (E1).  For columns the
+         table already has, the table's type stays authoritative — JSON
+         inference sees only lexical types (ISO timestamps are strings,
+         every int is a long), and the reference likewise does not
+         auto-propagate retypes in CDC mode (`cdc.md:27`); widening /
+         soft_reset remain explicit table operations (E2/T8);
+      3. **typed extraction**: payload fields parsed as strings and
+         `try_cast` to the (possibly just-evolved) table schema with
+         per-row cast-error capture into ``_meta.errors`` (P3/P4 —
+         `typing-deduping.md:14-33`: bad values never fail the sync).
+
+    A crash between the evolution commit and the merge commit replays
+    safely: re-inference produces a no-change diff and the merge skips or
+    applies idempotently.
+    """
+
+    def __init__(self, *args, payload_col: str = "payload", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.payload_col = payload_col
+
+    def _stream_schema(self):
+        from airbyte_custom_spark.schema import JSON_CDC_EVENT_SCHEMA
+
+        return JSON_CDC_EVENT_SCHEMA
+
+    def _transform_batch(self, events: DataFrame, table: LakeTable) -> DataFrame:
+        from pyspark.sql import types as T
+
+        from airbyte_custom_spark.operators.schema_evo import (
+            evolve_table_for,
+            infer_payload_schema,
+        )
+        from airbyte_custom_spark.operators.typed import project_and_cast
+
+        inferred = infer_payload_schema(events, self.payload_col)
+        existing = set(table.payload_columns)
+        new_fields = [f for f in inferred.fields if f.name not in existing]
+        if new_fields:
+            current = T.StructType(
+                [f for f in table.schema().fields if f.name in existing]
+            )
+            evolve_table_for(table, T.StructType(list(current.fields) + new_fields))
+        target = T.StructType(
+            [f for f in table.schema().fields if f.name in set(table.payload_columns)]
+        )
+        # parse once to string-valued fields; types are applied by the
+        # try_cast projection so per-field failures are captured per row
+        # instead of nulling the whole record (from_json with a typed
+        # schema nulls the full row on any field mismatch)
+        pmap = F.from_json(
+            F.col(self.payload_col), T.MapType(T.StringType(), T.StringType())
+        )
+        raw = events.select(
+            *[F.col(c) for c in events.columns if c != self.payload_col],
+            *[pmap.getItem(f.name).alias(f.name) for f in target.fields],
+        )
+        return project_and_cast(raw, target)
 
 
 class GlobalStateIngestJob(CdcIngestJob):
