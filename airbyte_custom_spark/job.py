@@ -9,9 +9,14 @@ Usage (local or cluster; package shipped via --py-files):
   ... job_main.py backfill --table /data/tbl --snapshot /data/snap.parquet
   ... job_main.py tail --table /data/tbl --source /data/seg --checkpoint /data/ckpt
         [--follow] [--target-lsn N] [--max-files N] [--salt N]
+  ... job_main.py tail ... --json-payload      # raw _airbyte_data JSON source
+  ... job_main.py snapshot --table /data/tbl --source /data/snap.parquet \
+        --state /data/snapstate --pk-col row_id [--chunk-size N]   # resumable
   ... job_main.py show --table /data/tbl [--limit 20]
   ... job_main.py history --table /data/tbl
   ... job_main.py compact --table /data/tbl
+  ... job_main.py expire --table /data/tbl [--remove-orphans]
+  ... job_main.py gc-tombstones --table /data/tbl --watermark N
 """
 
 from __future__ import annotations
@@ -28,7 +33,7 @@ from airbyte_custom_spark.sources.generator import change_events, write_event_ch
 from airbyte_custom_spark.streaming.pipeline import CdcIngestJob, backfill
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     ap = argparse.ArgumentParser(prog="airbyte_custom_spark.job")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -60,10 +65,26 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--max-files", type=int, default=None)
     t.add_argument("--salt", type=int, default=0)
     t.add_argument(
+        "--json-payload", action="store_true",
+        help="source events carry a raw JSON `payload` column "
+             "(_airbyte_data shape): per-batch schema inference + "
+             "ADD-column evolution + typed extraction",
+    )
+    t.add_argument(
         "--max-empty-polls", type=int, default=0,
         help="with --follow: stop + fail after N consecutive no-data "
              "triggers (C10 liveness; 0 = run forever)",
     )
+
+    sn = sub.add_parser(
+        "snapshot", help="resumable chunked initial load from a parquet source"
+    )
+    sn.add_argument("--table", required=True)
+    sn.add_argument("--source", required=True, help="parquet of payload rows")
+    sn.add_argument("--state", required=True, help="chunk-state dir (resume)")
+    sn.add_argument("--pk-col", required=True, help="numeric column to chunk on")
+    sn.add_argument("--chunk-size", type=int, default=1_000_000)
+    sn.add_argument("--base-lsn", type=int, default=0)
 
     s = sub.add_parser("show", help="print final table rows")
     s.add_argument("--table", required=True)
@@ -75,6 +96,21 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="rewrite fragmented buckets")
     c.add_argument("--table", required=True)
     c.add_argument("--min-files", type=int, default=2)
+
+    e = sub.add_parser(
+        "expire", help="drop old snapshots; optionally sweep orphan files"
+    )
+    e.add_argument("--table", required=True)
+    e.add_argument("--retain-last", type=int, default=2)
+    e.add_argument("--remove-orphans", action="store_true")
+    e.add_argument(
+        "--orphan-min-age-sec", type=float, default=3 * 24 * 3600,
+        help="never sweep files younger than this (in-flight-writer guard)",
+    )
+
+    gct = sub.add_parser("gc-tombstones", help="drop tombstones below an LSN")
+    gct.add_argument("--table", required=True)
+    gct.add_argument("--watermark", type=int, required=True)
 
     args = ap.parse_args(argv)
     spark = get_spark(app_name=f"acs-{args.cmd}")
@@ -104,12 +140,15 @@ def main(argv: list[str] | None = None) -> int:
         v = backfill(spark, t_, snap, lsn=args.lsn)
         print(json.dumps({"version": v, "rows": t_.read().count()}))
     elif args.cmd == "tail":
+        from airbyte_custom_spark.streaming.pipeline import JsonCdcIngestJob
+
         cfg = IngestConfig(
             query_id=args.query_id,
             max_files_per_trigger=args.max_files,
             salt_buckets=args.salt,
         )
-        job = CdcIngestJob(
+        job_cls = JsonCdcIngestJob if args.json_payload else CdcIngestJob
+        job = job_cls(
             spark, args.table, args.source, args.checkpoint, cfg,
             target_lsn=args.target_lsn,
         )
@@ -139,11 +178,46 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "history":
         t_ = LakeTable.load(spark, args.table)
         print(json.dumps(t_.history(), indent=1, default=str))
+    elif args.cmd == "snapshot":
+        from airbyte_custom_spark.sources.jdbc import chunk_predicates
+        from airbyte_custom_spark.sources.snapshot import ChunkedSnapshotJob
+
+        t_ = LakeTable.load(spark, args.table)
+        src = spark.read.parquet(args.source)
+        bounds = src.selectExpr(
+            f"min({args.pk_col}) lo", f"max({args.pk_col}) hi"
+        ).first()
+        preds = chunk_predicates(
+            args.pk_col, int(bounds["lo"]), int(bounds["hi"]), args.chunk_size
+        )
+        sjob = ChunkedSnapshotJob(
+            t_,
+            lambda p: src.filter(p).drop(args.pk_col)
+            if args.pk_col not in t_.payload_columns
+            else src.filter(p),
+            preds,
+            args.state,
+            base_lsn=args.base_lsn,
+        )
+        print(json.dumps(sjob.run()))
     elif args.cmd == "compact":
         t_ = LakeTable.load(spark, args.table)
         v = t_.compact(min_files_per_bucket=args.min_files)
         print(json.dumps({"compacted_to_version": v}))
-    spark.stop()
+    elif args.cmd == "expire":
+        t_ = LakeTable.load(spark, args.table)
+        stats = t_.expire_snapshots(
+            retain_last=args.retain_last,
+            remove_orphans=args.remove_orphans,
+            orphan_min_age_sec=args.orphan_min_age_sec,
+        )
+        print(json.dumps(stats))
+    elif args.cmd == "gc-tombstones":
+        t_ = LakeTable.load(spark, args.table)
+        v = t_.gc_tombstones(lsn_watermark=args.watermark)
+        print(json.dumps({"version": v}))
+    if stop_session:
+        spark.stop()
     return 0
 
 

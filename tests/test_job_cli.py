@@ -1,0 +1,69 @@
+"""spark-submit CLI (`airbyte_custom_spark/job.py`): the full lifecycle —
+gen → init → tail → maintenance (compact / expire / gc-tombstones) and the
+resumable snapshot command — driven through main(argv) in-process."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from airbyte_custom_spark.job import main
+from airbyte_custom_spark.lake.table import LakeTable
+
+
+def run(capsys, *argv):
+    rc = main(list(argv), stop_session=False)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    return json.loads(out[-1]) if out and out[-1].startswith("{") else None
+
+
+def test_cli_lifecycle(spark, tmp_path, capsys):
+    seg = str(tmp_path / "seg")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    g = run(capsys, "gen", "--out", seg, "--events", "2000", "--chunks", "2")
+    assert g["events"] == 2000
+    i = run(capsys, "init", "--table", tbl, "--buckets", "4")
+    assert i["version"] == 0
+    t = run(capsys, "tail", "--table", tbl, "--source", seg, "--checkpoint", ckpt)
+    assert t["events"] == 2000 and t["batches"] >= 1
+    assert LakeTable.load(spark, tbl).read().count() > 0
+
+    run(capsys, "compact", "--table", tbl, "--min-files", "1")
+    e = run(capsys, "expire", "--table", tbl, "--retain-last", "1",
+            "--remove-orphans", "--orphan-min-age-sec", "0")
+    assert e["expired_snapshots"] >= 1
+    gc = run(capsys, "gc-tombstones", "--table", tbl, "--watermark", "1")
+    assert gc["version"] >= 1
+    # table still reads after the full maintenance pass
+    assert LakeTable.load(spark, tbl).read().count() > 0
+
+
+def test_cli_resumable_snapshot(spark, tmp_path, capsys):
+    tbl = str(tmp_path / "tbl2")
+    run(capsys, "init", "--table", tbl, "--buckets", "2")
+    src = str(tmp_path / "snap_src")
+    spark.range(300).select(
+        F.col("id").alias("row_id"),
+        F.concat(F.lit("conv-"), (F.col("id") % 20).cast("string")).alias("conv_id"),
+        (F.col("id") / 20).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(F.lit(1700000000)).alias("ts"),
+    ).write.parquet(src)
+    s = run(
+        capsys, "snapshot", "--table", tbl, "--source", src,
+        "--state", str(tmp_path / "snapstate"),
+        "--pk-col", "row_id", "--chunk-size", "100",
+    )
+    assert s["chunks_total"] == 3 and s["chunks_completed"] == 3
+    assert LakeTable.load(spark, tbl).read().count() == 300
+    # re-run: all chunks already complete — nothing applied
+    s2 = run(
+        capsys, "snapshot", "--table", tbl, "--source", src,
+        "--state", str(tmp_path / "snapstate"),
+        "--pk-col", "row_id", "--chunk-size", "100",
+    )
+    assert s2["chunks_applied_this_run"] == 0
