@@ -183,3 +183,38 @@ def test_batch_resolves_to_pruned_parquet_scan(spark, env, monkeypatch):
         # pruning reaches the scan: the 2-col projection reads 2 columns
         assert "ReadSchema: struct<lsn:bigint,conv_id:string>" in plan, plan
     assert_matches_replay(LakeTable.load(spark, table.path).read(), events)
+
+
+def test_batch_reread_survives_compacted_source_log(spark, tmp_path):
+    """The file-source checkpoint log compacts every 10th batch (the entry
+    lives in `<id>.compact`, not `<id>`); the pruned re-read must resolve
+    those batches too — 12 single-file batches cross the compact boundary
+    and the final state must still match the replay."""
+    events = change_events(spark, 6000, n_convs=80, max_turns=10, p_delete=0.1)
+    src = str(tmp_path / "segments")
+    write_event_chunks(events, src, n_chunks=12)
+    table = LakeTable.create(spark, str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, num_buckets=8)
+    job = CdcIngestJob(
+        spark, table.path, src, str(tmp_path / "ckpt"),
+        IngestConfig(max_files_per_trigger=1),
+    )
+    resolved_plans = []
+    orig = CdcIngestJob._resolve_batch
+
+    def spy(self, batch_df, batch_id):
+        out = orig(self, batch_df, batch_id)
+        resolved_plans.append(
+            (batch_id, out._jdf.queryExecution().executedPlan().toString())
+        )
+        return out
+
+    CdcIngestJob._resolve_batch = spy
+    try:
+        job.run_available_now()
+    finally:
+        CdcIngestJob._resolve_batch = orig
+    assert len(resolved_plans) >= 11  # crossed the compact interval
+    for bid, plan in resolved_plans:
+        assert "FileScan parquet" in plan, (bid, plan[:300])
+        assert "Scan ExistingRDD" not in plan, bid
+    assert_matches_replay(LakeTable.load(spark, table.path).read(), events)
