@@ -72,3 +72,40 @@ def test_any_batching_matches_python_replay(spark, tmp_path_factory, events, cut
         for r in t.read().select("conv_id", "turn_idx", "text").collect()
     }
     assert got == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(events=_events)
+def test_json_envelope_roundtrip_matches_python_replay(
+    spark, tmp_path_factory, events
+):
+    """For ANY event sequence, packing the payload into the raw JSON
+    envelope and running it through JsonCdcIngestJob's inference +
+    extraction + merge stage yields the same final state as the Python
+    replay — the typed and raw paths are interchangeable."""
+    from airbyte_custom_spark.sources.generator import json_envelope
+    from airbyte_custom_spark.streaming.pipeline import JsonCdcIngestJob
+
+    rows = [
+        (i + 1, op, conv, turn, f"t{i + 1}" if op != "d" else None)
+        for i, (op, conv, turn) in enumerate(events)
+    ]
+    expected = _python_replay(rows)
+
+    d = tmp_path_factory.mktemp("jprop")
+    t = LakeTable.create(spark, str(d / "tbl"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    job = JsonCdcIngestJob(spark, t.path, str(d / "src"), str(d / "ckpt"))
+    enveloped = json_envelope(
+        mk_events(spark, [ev(l, op, c, tn, text=tx) for l, op, c, tn, tx in rows])
+    )
+    t.merge(job._transform_batch(enveloped, t), batch_id=0)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in t.read().select("conv_id", "turn_idx", "text").collect()
+    }
+    assert got == expected
