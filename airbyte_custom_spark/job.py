@@ -184,9 +184,32 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
 
         t_ = LakeTable.load(spark, args.table)
         src = spark.read.parquet(args.source)
+        pk_field = next((f for f in src.schema.fields if f.name == args.pk_col), None)
+        if pk_field is None:
+            ap.error(f"--pk-col {args.pk_col!r} not found in {args.source}")
+        if pk_field.dataType.typeName() not in ("integer", "long", "short", "byte"):
+            ap.error(
+                f"--pk-col {args.pk_col!r} is {pk_field.dataType.simpleString()} — "
+                "chunked snapshot requires an integral chunking column"
+            )
         bounds = src.selectExpr(
             f"min({args.pk_col}) lo", f"max({args.pk_col}) hi"
         ).first()
+        if bounds["lo"] is None or bounds["hi"] is None:
+            # empty source: nothing to snapshot — succeed with zero chunks
+            # instead of an opaque int(None) TypeError
+            print(
+                json.dumps(
+                    {
+                        "chunks_total": 0,
+                        "chunks_applied_this_run": 0,
+                        "chunks_completed": 0,
+                    }
+                )
+            )
+            if stop_session:
+                spark.stop()
+            return 0
         preds = chunk_predicates(
             args.pk_col, int(bounds["lo"]), int(bounds["hi"]), args.chunk_size
         )

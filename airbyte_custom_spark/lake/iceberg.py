@@ -33,7 +33,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from airbyte_custom_spark.operators.dedupe import latest_by_reduce
+from airbyte_custom_spark.operators.dedupe import latest_per_key
 
 _META_COLS = ("_lsn", "_deleted")
 
@@ -132,17 +132,17 @@ class IcebergTable:
 
     # ---------------------------------------------------------------- merge
 
-    def merge(
-        self,
-        events_df: DataFrame,
-        batch_id: int | None = None,
-        query_id: str = "default",
-        **_ignored,
-    ):
-        """One atomic MERGE INTO: latest-per-key reduce (map-side combine,
-        delete-wins ties) then upsert; tombstones written as rows."""
-        if batch_id is not None and batch_id <= self.last_committed_batch(query_id):
-            return None
+    def merge_source(self, events_df: DataFrame) -> DataFrame:
+        """The MERGE's source frame: latest-per-key reduce (delete-wins
+        ties, T5) projected onto (payload…, _lsn, _deleted).
+
+        Uses ``latest_per_key`` — the WindowGroupLimit top-1 formulation —
+        NOT ``latest_by_reduce``: the max_by(struct) form plans as a
+        SortAggregate (two full sorts) that SCALE.md measured 2.1× slower
+        at 16M rows.  Both guarantee one row per key pre-MERGE, so the
+        Iceberg branch defaults to the proven-fast plan.  Split out from
+        ``merge`` so the plan is assertable without the Iceberg jar
+        (tests/test_iceberg_dispatch.py)."""
         src = events_df.withColumn(
             "_del",
             (F.col("op") == "d")
@@ -152,14 +152,32 @@ class IcebergTable:
                 else F.lit(False)
             ),
         )
-        src = latest_by_reduce(src, self.primary_key, order_col="lsn", delete_col="_del")
+        src = latest_per_key(src, self.primary_key, order_col="lsn", delete_col="_del")
         payload = [c for c in src.columns if c not in ("lsn", "op", "_del")
                    and not c.startswith("_ab_cdc")]
-        src = src.select(
+        return src.select(
             *payload,
             F.col("lsn").alias("_lsn"),
             F.col("_del").alias("_deleted"),
         )
+
+    def merge(
+        self,
+        events_df: DataFrame,
+        batch_id: int | None = None,
+        query_id: str = "default",
+        **_ignored,
+    ):
+        """One atomic MERGE INTO: latest-per-key reduce (map-side top-1,
+        delete-wins ties) then upsert; tombstones written as rows.  Returns
+        a ``MergeResult`` like LakeTable (``version`` stays None — Iceberg
+        owns its snapshot ids), so pipeline call sites checking
+        ``result.skipped`` work unchanged under dispatch."""
+        from airbyte_custom_spark.lake.table import MergeResult
+
+        if batch_id is not None and batch_id <= self.last_committed_batch(query_id):
+            return MergeResult(version=None, skipped=True)
+        src = self.merge_source(events_df)
         # per-call unique view name: concurrent merges in one session (e.g.
         # GlobalStateIngestJob streams) must not clobber each other's source
         view = f"_acs_merge_src_{uuid.uuid4().hex[:12]}"
@@ -181,7 +199,7 @@ class IcebergTable:
                 f"ALTER TABLE {self.ident} SET TBLPROPERTIES "
                 f"('acs.applied.{query_id}'='{batch_id}')"
             )
-        return batch_id
+        return MergeResult(version=None, skipped=False)
 
     def read(self, include_deleted: bool = False, include_meta: bool = False) -> DataFrame:
         df = self.spark.table(self.ident)
@@ -259,33 +277,53 @@ class IcebergTable:
 
     # ---------------------------------------------------------- maintenance
 
-    def compact(self, **_ignored) -> None:
+    def compact(self, **_ignored) -> int | None:
+        """LakeTable.compact returns the new version (or None); Iceberg's
+        rewrite_data_files reports rewritten-file counts — return the
+        rewritten count as the json-printable result (None ⇒ no-op)."""
         catalog = self.ident.split(".", 1)[0]
-        self.spark.sql(
+        row = self.spark.sql(
             f"CALL {catalog}.system.rewrite_data_files(table => '{self.ident}')"
-        )
+        ).first()
+        n = row["rewritten_data_files_count"] if row is not None else 0
+        return int(n) if n else None
 
-    def gc_tombstones(self, lsn_watermark: int) -> None:
+    def gc_tombstones(self, lsn_watermark: int) -> int:
         """Physically drop tombstones with _lsn < watermark (safe once every
         source partition has passed it — no staler update can arrive);
-        merge-on-read makes this a delete-file commit, not a rewrite."""
+        merge-on-read makes this a delete-file commit, not a rewrite.
+        Returns the tombstone count removed (LakeTable returns a version;
+        both json-serialize at the CLI)."""
+        n = (
+            self.spark.table(self.ident)
+            .filter(F.col("_deleted") & (F.col("_lsn") < int(lsn_watermark)))
+            .count()
+        )
         self.spark.sql(
             f"DELETE FROM {self.ident} "
             f"WHERE _deleted AND _lsn < {int(lsn_watermark)}"
         )
+        return n
 
     def expire_snapshots(
         self, retain_last: int = 2, remove_orphans: bool = False, **_ignored
-    ) -> None:
+    ) -> dict:
         """Iceberg's own expireSnapshots / removeOrphanFiles pair; orphan
         removal keeps Iceberg's default 3-day older_than guard (same reason
-        as LakeTable.expire_snapshots's orphan_min_age_sec)."""
+        as LakeTable.expire_snapshots's orphan_min_age_sec).  Returns a
+        stats dict shaped like LakeTable.expire_snapshots's."""
         catalog = self.ident.split(".", 1)[0]
-        self.spark.sql(
+        row = self.spark.sql(
             f"CALL {catalog}.system.expire_snapshots("
             f"table => '{self.ident}', retain_last => {int(retain_last)})"
-        )
+        ).first()
+        stats = {
+            "expired_data_files": int(row["deleted_data_files_count"]) if row else 0,
+            "orphans_removed": 0,
+        }
         if remove_orphans:
-            self.spark.sql(
+            orphans = self.spark.sql(
                 f"CALL {catalog}.system.remove_orphan_files(table => '{self.ident}')"
-            )
+            ).collect()
+            stats["orphans_removed"] = len(orphans)
+        return stats

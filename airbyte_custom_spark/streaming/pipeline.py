@@ -78,7 +78,12 @@ class CdcIngestJob:
     # ------------------------------------------------------------ source
 
     def _source_stream(self) -> DataFrame:
-        reader = self.spark.readStream.schema(CDC_EVENT_SCHEMA)
+        # subclass schema hook (JsonCdcIngestJob carries a raw `payload`
+        # column) — the stream MUST open with the same schema _resolve_batch
+        # re-reads with, so the fallback path (no file-source log, e.g. a
+        # non-local checkpoint store) still hands _transform_batch a frame
+        # with the right columns
+        reader = self.spark.readStream.schema(self._stream_schema())
         if self.config.max_files_per_trigger:
             # micro-batch size bound — the reference's 10k-event queue cap
             # (`AirbyteDebeziumHandler.java:41-45`) analog
@@ -451,15 +456,6 @@ class GlobalStateIngestJob(CdcIngestJob):
         super().__init__(spark, first, source_dir, checkpoint_dir, config)
         self.tables = tables
         self.stream_col = stream_col
-
-    def _source_stream(self) -> DataFrame:
-        schema = T_STREAMED_EVENT
-        reader = self.spark.readStream.schema(schema)
-        if self.config.max_files_per_trigger:
-            reader = reader.option(
-                "maxFilesPerTrigger", str(self.config.max_files_per_trigger)
-            )
-        return reader.parquet(self.source_dir)
 
     def _stream_schema(self):
         return T_STREAMED_EVENT

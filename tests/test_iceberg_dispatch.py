@@ -97,4 +97,24 @@ def test_iceberg_merge_roundtrip(spark, tmp_path):
     assert t.last_committed_batch("q") == 0
     assert t.read().count() > 0
     # replay skip
-    assert t.merge(events, batch_id=0, query_id="q") is None
+    assert t.merge(events, batch_id=0, query_id="q").skipped
+
+
+def test_iceberg_merge_source_uses_windowgrouplimit(spark):
+    """round-3 VERDICT item 3: the Iceberg branch's pre-MERGE reduce must
+    use the WindowGroupLimit top-1 formulation (map-side top-1 per key),
+    NOT the max_by SortAggregate form SCALE.md measured 2.1× slower.  The
+    source frame builds without the Iceberg jar, so the plan is assertable
+    in this image even though MERGE itself can't run."""
+    from airbyte_custom_spark.plans.inspect import explain_str
+    from airbyte_custom_spark.sources.generator import change_events
+
+    t = IcebergTable(spark, "ice.db.t")
+    src = t.merge_source(change_events(spark, 500, n_convs=20, max_turns=6))
+    plan = explain_str(src, "formatted")
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortAggregate" not in plan, plan
+    # output shape: payload + (_lsn, _deleted), CDC envelope consumed
+    cols = set(src.columns)
+    assert {"_lsn", "_deleted"} <= cols
+    assert "op" not in cols and "lsn" not in cols and "_del" not in cols
