@@ -175,6 +175,62 @@ def q_json_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _final_payload(LakeTable.load(spark, t.path).read())
 
 
+def q_json_nested_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-payload JSON ingest end-to-end (round-4): events carry an
+    ARRAY column (`tags`) and a STRUCT column (`meta{model, tokens}`)
+    packed into the raw `_airbyte_data` JSON; `JsonCdcIngestJob` must
+    infer typed ArrayType/StructType columns (SURVEY §1.3 Struct/Array
+    variants, `AirbyteType.java:27-55`), extract them via typed per-field
+    from_json (`BigQuerySqlGenerator.java:109-160` JSON_QUERY analog),
+    and the merged final state must match the oracle, which computes the
+    same nested values as scalars directly — proving the JSON roundtrip,
+    nested typing, and merge are value-exact."""
+    from airbyte_custom_spark.sources.generator import json_envelope
+    from airbyte_custom_spark.streaming.pipeline import JsonCdcIngestJob
+
+    ev = events_from_table(spark, sf_dir)
+    not_del = F.col("op") != "d"
+    nested = ev.select(
+        "*",
+        F.when(
+            not_del,
+            F.array(
+                F.concat(F.lit("t"), (F.col("lsn") % 5).cast("string")),
+                F.concat(F.lit("u"), F.col("turn_idx").cast("string")),
+            ),
+        ).alias("tags"),
+        F.when(
+            not_del,
+            F.struct(
+                F.concat(F.lit("m"), (F.col("lsn") % 3).cast("string")).alias(
+                    "model"
+                ),
+                (F.col("lsn") % 1000).alias("tokens"),
+            ),
+        ).alias("meta"),
+    )
+    src = _fresh_dir("nestwal")
+    write_event_chunks(json_envelope(nested), src, n_chunks=4)
+    t = LakeTable.create(spark, _fresh_dir("nesttbl"), TRANSCRIPT_SCHEMA, num_buckets=16)
+    job = JsonCdcIngestJob(
+        spark,
+        t.path,
+        src,
+        _fresh_dir("nestckpt"),
+        IngestConfig(max_files_per_trigger=2),
+    )
+    job.run_available_now()
+    final = LakeTable.load(spark, t.path).read()
+    return final.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.array_join(F.col("tags"), ",").alias("tags_csv"),
+        F.col("meta.model").alias("model"),
+        F.col("meta.tokens").alias("tokens"),
+    )
+
+
 def q_raw_table_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 end-to-end through the raw/final two-table path: append every
     event version to an append-only raw table, dedupRawTable it, read the
@@ -550,6 +606,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_latest_per_key": q_cdc_latest_per_key,
         "cdc_final_state": q_cdc_final_state,
         "json_cdc_final_state": q_json_cdc_final_state,
+        "json_nested_final_state": q_json_nested_final_state,
         "cdc_final_state_incremental": q_cdc_final_state_incremental,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
         "raw_table_dedup": q_raw_table_dedup,
@@ -604,6 +661,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_final_state": _ORACLE_FINAL,
         "json_cdc_final_state": _ORACLE_FINAL,
+        # nested roundtrip: the oracle computes the array/struct values as
+        # scalars straight from the winning event's lsn/turn_idx — the
+        # Spark side must recover the identical values THROUGH the JSON
+        # envelope + nested inference + typed extraction + merge
+        "json_nested_final_state": f"""
+            WITH ev AS ({ev}),
+            ranked AS (
+              SELECT ev.*, row_number() OVER (
+                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+              FROM ev
+            )
+            SELECT conv_id, turn_idx, text,
+                   't' || CAST(lsn % 5 AS STRING) || ',u'
+                       || CAST(turn_idx AS STRING) AS tags_csv,
+                   'm' || CAST(lsn % 3 AS STRING) AS model,
+                   lsn % 1000 AS tokens
+            FROM ranked WHERE rn = 1 AND op <> 'd'
+        """,
         "cdc_final_state_incremental": _ORACLE_FINAL,
         "cdc_stream_tail_final_state": _ORACLE_FINAL,
         # the raw/final path must converge to the same replayed state

@@ -24,8 +24,7 @@ from __future__ import annotations
 import json
 from dataclasses import dataclass, field
 
-import pandas as pd
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 _WIDENINGS: set[tuple[str, str]] = {
     ("integer", "long"),
@@ -115,48 +114,111 @@ def evolve_table_for(table, incoming_payload: T.StructType) -> SchemaDiff:
 # Arrow-vectorized JSON payload schema inference
 # ---------------------------------------------------------------------------
 
-_PANDAS_TO_SPARK: list[tuple[str, T.DataType]] = [
-    ("bool", T.BooleanType()),
-    ("int", T.LongType()),
-    ("float", T.DoubleType()),
-    ("datetime", T.TimestampType()),
-]
+def payload_keys(df: DataFrame, json_col: str) -> list[str]:
+    """EXACT top-level key set of a batch's JSON payloads, computed with a
+    distributed JVM aggregate — not a sample.
+
+    `from_json(col, map<string,string>)` parses every payload once (nested
+    values arrive as raw JSON text, null values keep their key), then
+    `explode(map_keys) → distinct` reduces to the key set with map-side
+    partial aggregation: only distinct (partition, key) strings ever cross
+    the exchange, so the job is O(rows) scan + O(keys) shuffle at any
+    scale.  Closes the round-3 sampled-inference hole: a column whose
+    first occurrence is beyond the driver sample can no longer be silently
+    dropped from the target schema (the reference never loses payload
+    bytes — `typing-deduping.md:5-70`)."""
+    rows = (
+        df.select(
+            F.explode(
+                F.map_keys(
+                    F.from_json(
+                        F.col(json_col), T.MapType(T.StringType(), T.StringType())
+                    )
+                )
+            ).alias("k")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(r["k"] for r in rows)
 
 
-def _infer_series_type(s: pd.Series) -> T.DataType:
-    s = s.dropna()
-    if s.empty:
+def _infer_value_type(values: list) -> T.DataType:
+    """Recursive Airbyte-style JSON type inference (SURVEY.md §1.3/§1.6,
+    `AirbyteType.java:27-55`): scalars map bool→Boolean, int→Long,
+    int|float→Double, str→String; homogeneous lists → ArrayType(element
+    inference over all sampled elements); homogeneous objects → StructType
+    over the union of keys (`Struct.java:1-14`); mixed/unknown (Union) →
+    StringType — the raw-JSON-string fallback, matching the reference's
+    UnsupportedOneOf handling."""
+    vals = [v for v in values if v is not None]
+    if not vals:
         return T.StringType()
-    if s.map(lambda v: isinstance(v, bool)).all():
+    if all(isinstance(v, bool) for v in vals):
         return T.BooleanType()
-    if s.map(lambda v: isinstance(v, int) and not isinstance(v, bool)).all():
+    if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
         return T.LongType()
-    if s.map(lambda v: isinstance(v, (int, float)) and not isinstance(v, bool)).all():
+    if all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals):
         return T.DoubleType()
-    if s.map(lambda v: isinstance(v, list)).all():
-        return T.ArrayType(T.StringType())
-    if s.map(lambda v: isinstance(v, dict)).all():
-        return T.StringType()  # free object → JSON string (schema.py policy)
+    if all(isinstance(v, str) for v in vals):
+        return T.StringType()
+    if all(isinstance(v, list) for v in vals):
+        return T.ArrayType(_infer_value_type([e for v in vals for e in v]))
+    if all(isinstance(v, dict) for v in vals):
+        keys: list[str] = []
+        for v in vals:
+            for k in v:
+                if k not in keys:
+                    keys.append(k)
+        return T.StructType(
+            [
+                T.StructField(
+                    k, _infer_value_type([v[k] for v in vals if k in v]), True
+                )
+                for k in keys
+            ]
+        )
     return T.StringType()
 
 
 def infer_payload_schema(
-    df: DataFrame, json_col: str, sample_rows: int = 2048
+    df: DataFrame,
+    json_col: str,
+    sample_rows: int = 2048,
+    keys: list[str] | None = None,
 ) -> T.StructType:
     """Infer a StructType from a column of JSON object strings.
 
     Pulls ≤ ``sample_rows`` payloads to the driver in one Arrow batch and
     infers with pandas — the 'vectorized Arrow-based schema-diff stage' of
     the north star.  Bounded, metadata-only; never runs per row over the
-    full stream."""
+    full stream.
+
+    ``keys`` (from ``payload_keys``) makes the FIELD SET exact: the driver
+    sample decides only each key's TYPE; a key absent from the sample
+    falls back to StringType (lossless — the raw JSON text is preserved
+    and can be retyped by a later evolution/soft_reset), so rare late
+    columns keep their values instead of being dropped."""
     sample = (
         df.select(json_col).filter(f"{json_col} is not null").limit(sample_rows).toPandas()
     )
-    if sample.empty:
-        return T.StructType([])
-    parsed = pd.json_normalize(sample[json_col].map(json.loads), max_level=0)
+    parsed: list[dict] = [json.loads(s) for s in sample[json_col]] if not sample.empty else []
+    names: list[str] = []
+    for p in parsed:
+        for k in p:
+            if k not in names:
+                names.append(k)
     fields = [
-        T.StructField(name, _infer_series_type(parsed[name]), True)
-        for name in parsed.columns
+        T.StructField(
+            name, _infer_value_type([p[name] for p in parsed if name in p]), True
+        )
+        for name in names
     ]
+    if keys is not None:
+        sampled = set(names)
+        fields += [
+            T.StructField(k, T.StringType(), True)
+            for k in keys
+            if k not in sampled
+        ]
     return T.StructType(fields)

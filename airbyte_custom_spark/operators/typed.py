@@ -37,8 +37,16 @@ def project_and_cast(
     Missing columns become NULL; present columns are cast (NULL on cast
     failure).  With ``capture_errors``, rows where a raw value existed but
     the cast produced NULL get an error entry in ``_meta.errors`` — the
-    P3+P4 pipeline in one select."""
-    existing = set(df.columns)
+    P3+P4 pipeline in one select.
+
+    A COMPLEX target field (array/struct/map) fed from a StringType input
+    column is parsed with a typed ``from_json`` instead of ``try_cast``
+    (string→array is an unsupported cast — AnalysisException, not NULL):
+    the JSON text of the nested value becomes the typed value, malformed
+    text becomes NULL and is captured like any other cast failure — the
+    reference's JSON_QUERY nested extraction
+    (`BigQuerySqlGenerator.java:109-160`)."""
+    existing = {f.name: f.dataType for f in df.schema.fields}
     out_cols: list[F.Column] = []
     err_entries: list[F.Column] = []
     for field in target.fields:
@@ -47,9 +55,14 @@ def project_and_cast(
             out_cols.append(F.lit(None).cast(field.dataType).alias(name))
             continue
         raw = F.col(name)
-        # try_cast = SAFE_CAST: NULL on failure even under ANSI mode
-        # (Spark 4 default), matching BigQuery SAFE_CAST in the reference
-        typed = raw.try_cast(field.dataType)
+        if isinstance(
+            field.dataType, (T.ArrayType, T.StructType, T.MapType)
+        ) and isinstance(existing[name], T.StringType):
+            typed = F.from_json(raw, field.dataType)
+        else:
+            # try_cast = SAFE_CAST: NULL on failure even under ANSI mode
+            # (Spark 4 default), matching BigQuery SAFE_CAST in the reference
+            typed = raw.try_cast(field.dataType)
         out_cols.append(typed.alias(name))
         if capture_errors:
             err_entries.append(

@@ -364,9 +364,16 @@ class JsonCdcIngestJob(CdcIngestJob):
     (`JavaBaseConstants.java:29-39`, `typing-deduping.md:5-70`).  Per
     micro-batch, before the normal validate→reduce→merge path:
 
-      1. **Arrow-vectorized schema inference** over a bounded payload
-         sample (`operators/schema_evo.py::infer_payload_schema` — the
-         north star's "vectorized Arrow-based schema-diff stage");
+      1. **Exact key discovery + Arrow-vectorized type inference**: the
+         batch's payload key set comes from a distributed ``map_keys``
+         aggregate (`operators/schema_evo.py::payload_keys` — exact, so a
+         late-appearing column can never lose values), while each new
+         key's TYPE is inferred from a bounded Arrow-batched driver
+         sample (`infer_payload_schema` — the north star's "vectorized
+         Arrow-based schema-diff stage"); keys outside the sample fall
+         back to lossless StringType.  Nested objects/arrays infer to
+         typed StructType/ArrayType (Union → string fallback, SURVEY
+         §1.3/§1.6);
       2. **diff + in-place evolution** against the table: NEW payload
          columns evolve the table schema mid-stream (E1).  For columns the
          table already has, the table's type stays authoritative — JSON
@@ -374,10 +381,12 @@ class JsonCdcIngestJob(CdcIngestJob):
          every int is a long), and the reference likewise does not
          auto-propagate retypes in CDC mode (`cdc.md:27`); widening /
          soft_reset remain explicit table operations (E2/T8);
-      3. **typed extraction**: payload fields parsed as strings and
-         `try_cast` to the (possibly just-evolved) table schema with
-         per-row cast-error capture into ``_meta.errors`` (P3/P4 —
-         `typing-deduping.md:14-33`: bad values never fail the sync).
+      3. **typed extraction**: payload fields parsed as strings (nested
+         values as raw JSON text) and applied to the (possibly
+         just-evolved) table schema — scalars via `try_cast`, complex
+         fields via typed per-field `from_json` — with per-row cast-error
+         capture into ``_meta.errors`` (P3/P4 — `typing-deduping.md:
+         14-33`: bad values never fail the sync).
 
     A crash between the evolution commit and the merge commit replays
     safely: re-inference produces a no-change diff and the merge skips or
@@ -399,24 +408,38 @@ class JsonCdcIngestJob(CdcIngestJob):
         from airbyte_custom_spark.operators.schema_evo import (
             evolve_table_for,
             infer_payload_schema,
+            payload_keys,
         )
         from airbyte_custom_spark.operators.typed import project_and_cast
 
-        inferred = infer_payload_schema(events, self.payload_col)
+        # EXACT key discovery — a distributed map_keys aggregate over the
+        # whole batch, not a driver sample (round-3 fix: a column whose
+        # first occurrence was past the sample silently lost its values
+        # for that batch).  The driver sample below is used ONLY to pick
+        # types for genuinely new keys; when every key is already a table
+        # column (the steady state), the sample job is skipped entirely.
+        keys = payload_keys(events, self.payload_col)
         existing = set(table.payload_columns)
-        new_fields = [f for f in inferred.fields if f.name not in existing]
-        if new_fields:
-            current = T.StructType(
-                [f for f in table.schema().fields if f.name in existing]
-            )
-            evolve_table_for(table, T.StructType(list(current.fields) + new_fields))
+        if any(k not in existing for k in keys):
+            inferred = infer_payload_schema(events, self.payload_col, keys=keys)
+            new_fields = [f for f in inferred.fields if f.name not in existing]
+            if new_fields:
+                current = T.StructType(
+                    [f for f in table.schema().fields if f.name in existing]
+                )
+                evolve_table_for(
+                    table, T.StructType(list(current.fields) + new_fields)
+                )
         target = T.StructType(
             [f for f in table.schema().fields if f.name in set(table.payload_columns)]
         )
-        # parse once to string-valued fields; types are applied by the
-        # try_cast projection so per-field failures are captured per row
-        # instead of nulling the whole record (from_json with a typed
-        # schema nulls the full row on any field mismatch)
+        # parse once to string-valued fields (nested values arrive as raw
+        # JSON text); types are applied by the projection so per-field
+        # failures are captured per row instead of nulling the whole
+        # record (from_json with a full typed schema nulls the entire row
+        # on any field mismatch).  Scalars go through try_cast; complex
+        # fields through a typed per-field from_json (project_and_cast
+        # picks per field).
         pmap = F.from_json(
             F.col(self.payload_col), T.MapType(T.StringType(), T.StringType())
         )

@@ -90,3 +90,144 @@ def test_json_ingest_captures_cast_errors_per_row(spark, tmp_path):
     assert got[0]["ts"] is not None and not (got[0]["_meta"]["errors"] or [])
     assert got[1]["ts"] is None
     assert any("ts" in e for e in got[1]["_meta"]["errors"])
+
+
+def _envelope(spark, rows):
+    """rows: (lsn, op, payload_json) triples → JSON_CDC_EVENT_SCHEMA frame."""
+    return spark.createDataFrame(
+        rows, "lsn long, op string, payload string"
+    ).select(
+        "lsn", "op", "payload",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("lsn")).alias("_ab_cdc_updated_at"),
+        F.lit(None).cast("timestamp").alias("_ab_cdc_deleted_at"),
+        F.lit(0).alias("source_partition"),
+    )
+
+
+def test_json_ingest_late_column_past_sample_survives(spark, tmp_path):
+    """round-3 VERDICT item 1: a column whose FIRST occurrence is beyond
+    the 2,048-row inference sample must still land with its values — key
+    discovery is an exact distributed aggregate, only TYPES come from the
+    sample (late keys fall back to lossless string)."""
+    import json as _json
+
+    n = 3000
+    rows = []
+    for i in range(n):
+        p = {"conv_id": f"c{i}", "turn_idx": 0, "role": "user", "text": f"t{i}"}
+        if i >= 2900:  # first occurrence far past any sample window
+            p["late_col"] = f"late-{i}"
+        rows.append((i + 1, "c", _json.dumps(p)))
+    src = str(tmp_path / "wal")
+    # ONE file → one micro-batch → the whole point: discovery must see
+    # past the sample within a single batch
+    _envelope(spark, rows).coalesce(1).write.parquet(src)
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    JsonCdcIngestJob(
+        spark, t.path, src, str(tmp_path / "ckpt"), IngestConfig()
+    ).run_available_now()
+    final = LakeTable.load(spark, t.path)
+    assert "late_col" in final.payload_columns
+    got = final.read().filter("late_col is not null")
+    assert got.count() == 100
+    assert got.filter("late_col = 'late-2950'").count() == 1
+
+
+def test_json_ingest_nested_array_and_struct_typed(spark, tmp_path):
+    """ADVICE round-3: array-valued payload fields previously crash-looped
+    (string→array is an unsupported cast).  Now: arrays and objects infer
+    to typed ArrayType/StructType columns and extract via typed from_json;
+    heterogeneous values fall back to JSON string (Union policy)."""
+    import json as _json
+
+    rows = [
+        (1, "c", _json.dumps({"conv_id": "a", "turn_idx": 0, "role": "user",
+                              "text": "hi", "tags": ["x", "y"],
+                              "meta": {"model": "m1", "tokens": 7},
+                              "mixed": [1, 2]})),
+        (2, "c", _json.dumps({"conv_id": "a", "turn_idx": 1, "role": "user",
+                              "text": "yo", "tags": [],
+                              "meta": {"model": "m2"},
+                              "mixed": "str-now"})),
+    ]
+    src = str(tmp_path / "wal")
+    _envelope(spark, rows).coalesce(1).write.parquet(src)
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    JsonCdcIngestJob(
+        spark, t.path, src, str(tmp_path / "ckpt"), IngestConfig()
+    ).run_available_now()
+    final = LakeTable.load(spark, t.path)
+    sch = {f.name: f.dataType for f in final.read().schema.fields}
+    from pyspark.sql import types as T
+
+    assert isinstance(sch["tags"], T.ArrayType)
+    assert isinstance(sch["meta"], T.StructType)
+    assert isinstance(sch["mixed"], T.StringType)  # Union → JSON-string fallback
+    got = {r["turn_idx"]: r for r in final.read().collect()}
+    assert got[0]["tags"] == ["x", "y"] and got[1]["tags"] == []
+    assert got[0]["meta"]["model"] == "m1" and got[0]["meta"]["tokens"] == 7
+    assert got[1]["meta"]["model"] == "m2" and got[1]["meta"]["tokens"] is None
+    assert got[0]["mixed"] == "[1,2]" and got[1]["mixed"] == "str-now"
+
+
+def test_json_ingest_malformed_nested_captured_per_row(spark, tmp_path):
+    """A value that does not parse as the established nested type lands
+    NULL with a _meta.errors entry — the sync continues (P3/P4 applied to
+    nested columns; previously AnalysisException crash-loop)."""
+    import json as _json
+
+    rows = [
+        (1, "c", _json.dumps({"conv_id": "a", "turn_idx": 0, "role": "user",
+                              "text": "ok", "tags": ["x"]})),
+        (2, "c", _json.dumps({"conv_id": "a", "turn_idx": 1, "role": "user",
+                              "text": "bad", "tags": "not-an-array"})),
+    ]
+    src1, src2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    _envelope(spark, rows[:1]).coalesce(1).write.parquet(src1)
+    _envelope(spark, rows[1:]).coalesce(1).write.parquet(src2)
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    # batch 1 establishes tags: array<string>; batch 2's scalar value must
+    # not crash the (typed) extraction — it nulls + records the error
+    for i, src in enumerate((src1, src2)):
+        JsonCdcIngestJob(
+            spark, t.path, src, str(tmp_path / f"ck{i}"), IngestConfig()
+        ).run_available_now()
+    got = {
+        r["turn_idx"]: r
+        for r in LakeTable.load(spark, t.path).read(include_meta=True).collect()
+    }
+    assert got[0]["tags"] == ["x"] and not (got[0]["_meta"]["errors"] or [])
+    assert got[1]["tags"] is None
+    assert any("tags" in e for e in got[1]["_meta"]["errors"])
+
+
+def test_payload_keys_exact_and_nested_inference_units(spark):
+    """Unit coverage: payload_keys sees keys with null values and nested
+    payloads; _infer_value_type recurses arrays-of-structs and applies the
+    Union → string fallback."""
+    from pyspark.sql import types as T
+
+    from airbyte_custom_spark.operators.schema_evo import (
+        _infer_value_type,
+        infer_payload_schema,
+        payload_keys,
+    )
+
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": null, "c": {"x": [1]}}',), ('{"a": 2, "d": [true]}',)],
+        "payload string",
+    )
+    assert payload_keys(df, "payload") == ["a", "b", "c", "d"]
+    t = _infer_value_type([[{"u": 1}], [{"u": 2, "v": "s"}]])
+    assert t == T.ArrayType(
+        T.StructType(
+            [T.StructField("u", T.LongType()), T.StructField("v", T.StringType())]
+        )
+    )
+    assert _infer_value_type([1, "x"]) == T.StringType()
+    assert _infer_value_type([1, 2.5]) == T.DoubleType()
+    assert _infer_value_type([True, False]) == T.BooleanType()
+    # keys= makes the field SET exact even when the sample misses a key
+    sch = infer_payload_schema(df, "payload", keys=["a", "b", "c", "d", "zz"])
+    assert [f.name for f in sch.fields if f.name == "zz"] == ["zz"]
+    assert dict((f.name, f.dataType) for f in sch.fields)["zz"] == T.StringType()
