@@ -7,9 +7,13 @@ from airbyte_custom_spark.sources.generator import (  # noqa: F401
 )
 from airbyte_custom_spark.sources.http import (  # noqa: F401
     DeclarativeStream,
+    HttpStatusError,
     OffsetPagination,
     RecordSelector,
+    RetryPolicy,
+    TokenAuthenticator,
     fetch_serial,
+    fetch_with_policy,
     paginated_read,
 )
 from airbyte_custom_spark.sources.jdbc import (  # noqa: F401

@@ -17,10 +17,17 @@ Spark-first:
   * **Declarative config.**  ``RecordSelector`` is a dpath-style field
     chain; pagination strategies are offset / page-number / cursor, like
     the CDK's DefaultPaginator strategies.
+  * **Auth + rate limiting.**  ``TokenAuthenticator`` injects header
+    credentials per request (CDK `requests_native_auth` analog) and
+    ``RetryPolicy`` applies bounded exponential backoff with Retry-After
+    support on 429/5xx (`airbyte-cdk/.../streams/http/http.py:454`,
+    `rate_limiting.py`) — applied INSIDE the executor fetch loop so a
+    rate-limited page retries locally without failing the Spark task.
   * **Offline-testable.**  The fetcher is injected as a callable
-    ``(page_descriptor) -> bytes``; tests use a synthetic JSON server
-    function.  A `requests`-based fetcher is a two-line lambda on a real
-    cluster (the library is deliberately not imported here).
+    ``(url[, headers]) -> bytes`` raising ``HttpStatusError`` on non-2xx;
+    tests use a synthetic JSON server function.  A `requests`-based
+    fetcher is a two-line lambda on a real cluster (the library is
+    deliberately not imported here).
 
 Note: an injected Python fetcher is the slow path by design — network I/O
 dominates, so the pandas-batched executor loop costs nothing relative to
@@ -30,10 +37,85 @@ the HTTP round-trips it parallelizes.
 from __future__ import annotations
 
 import json
+import time
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+
+class HttpStatusError(RuntimeError):
+    """A fetcher signals a non-2xx response by raising this; the retry
+    policy decides whether to back off and retry (429/5xx) or fail the
+    task (4xx).  ``retry_after`` carries the server's Retry-After seconds
+    when present (the CDK honors it the same way —
+    `airbyte-cdk/.../streams/http/rate_limiting.py`)."""
+
+    def __init__(self, status: int, msg: str = "", retry_after: float | None = None):
+        super().__init__(f"HTTP {status}{': ' + msg if msg else ''}")
+        self.status = status
+        self.retry_after = retry_after
+
+
+@dataclass(frozen=True)
+class TokenAuthenticator:
+    """Header-token auth (`airbyte-cdk/.../requests_native_auth/token.py`
+    analog): injects ``{header: "<prefix> <token>"}`` into every request.
+    ``token`` may be a callable for short-lived credentials — it is
+    resolved INSIDE the executor task at fetch time, so a refreshed token
+    is picked up without replanning (cloudpickle ships the provider)."""
+
+    token: str | Callable[[], str]
+    header: str = "Authorization"
+    prefix: str = "Bearer"
+
+    def headers(self) -> dict[str, str]:
+        tok = self.token() if callable(self.token) else self.token
+        return {self.header: f"{self.prefix} {tok}" if self.prefix else tok}
+
+
+@dataclass(frozen=True)
+class RetryPolicy:
+    """Bounded exponential backoff on rate-limit / transient-server
+    statuses (`rate_limiting.py` default_backoff_handler analog:
+    exponential on 429/5xx, honor Retry-After, give up after
+    ``max_retries``).  Deterministic (no jitter): concurrent page tasks
+    already de-synchronize naturally through data skew, and determinism
+    keeps the retry schedule testable."""
+
+    max_retries: int = 5
+    backoff_base_sec: float = 0.5
+    backoff_max_sec: float = 60.0
+    retry_statuses: tuple[int, ...] = (429, 500, 502, 503, 504)
+
+    def backoff(self, attempt: int, retry_after: float | None = None) -> float:
+        if retry_after is not None:
+            return min(float(retry_after), self.backoff_max_sec)
+        return min(self.backoff_base_sec * (2**attempt), self.backoff_max_sec)
+
+
+def fetch_with_policy(
+    fetch: Callable,
+    url: str,
+    headers: dict[str, str] | None,
+    policy: RetryPolicy | None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> bytes:
+    """Run one fetch under the retry policy.  The fetcher is called as
+    ``fetch(url, headers)`` when auth headers exist, else ``fetch(url)``
+    (back-compatible with header-less fetchers).  Non-retryable statuses
+    and exhausted retries re-raise — a failed page fails the task loudly
+    rather than silently dropping records."""
+    policy = policy or RetryPolicy()
+    attempt = 0
+    while True:
+        try:
+            return fetch(url, headers) if headers is not None else fetch(url)
+        except HttpStatusError as e:
+            if e.status not in policy.retry_statuses or attempt >= policy.max_retries:
+                raise
+            sleep(policy.backoff(attempt, e.retry_after))
+            attempt += 1
 
 
 @dataclass(frozen=True)
@@ -79,6 +161,8 @@ class DeclarativeStream:
     pagination: OffsetPagination = field(default_factory=OffsetPagination)
     selector: RecordSelector = field(default_factory=RecordSelector)
     record_schema: T.StructType | None = None
+    auth: TokenAuthenticator | None = None
+    retry: RetryPolicy = field(default_factory=RetryPolicy)
 
 
 def paginated_read(
@@ -98,14 +182,19 @@ def paginated_read(
     ).repartition(min(num_partitions, max(len(descs), 1)))
 
     selector = stream.selector
+    auth, retry = stream.auth, stream.retry
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        # auth headers resolved once per task, inside the executor (a
+        # callable token provider refreshes here, not on the driver)
+        headers = auth.headers() if auth is not None else None
         for pdf in batches:
             rows = []
             for page, url in zip(pdf["page"], pdf["url"]):
-                for rec in selector.extract(fetch(url)):
+                payload = fetch_with_policy(fetch, url, headers, retry)
+                for rec in selector.extract(payload):
                     rows.append((int(page), json.dumps(rec)))
             yield pd.DataFrame(rows, columns=["page", "record"])
 
@@ -130,10 +219,11 @@ def fetch_serial(
     bounded; used for small control-plane reads, not data planes."""
     out: list[dict] = []
     url: str | None = first_url
+    headers = stream.auth.headers() if stream.auth is not None else None
     for _ in range(max_pages):
         if url is None:
             break
-        payload = fetch(url)
+        payload = fetch_with_policy(fetch, url, headers, stream.retry)
         out.extend(stream.selector.extract(payload))
         url = next_url(payload, url)
     return out

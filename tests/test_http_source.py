@@ -78,3 +78,89 @@ def test_cursor_pagination_serial():
     stream = DeclarativeStream(url_template="", selector=RecordSelector(("data",)))
     out = fetch_serial(stream, fetch, next_url, "p1")
     assert [r["id"] for r in out] == [1, 2, 3]
+
+
+def test_paginated_read_auth_and_429_backoff(spark):
+    """round-3 VERDICT item 5: a page that 429s (with Retry-After) twice
+    then succeeds must be retried inside the executor fetch loop, with the
+    auth header present on every attempt — no task failure, no dropped
+    records (`airbyte-cdk/.../streams/http/rate_limiting.py` analog)."""
+    from pyspark.sql import types as T
+
+    from airbyte_custom_spark.sources.http import (
+        HttpStatusError,
+        RetryPolicy,
+        TokenAuthenticator,
+    )
+
+    def flaky_fetch(url, headers, _state={}):
+        assert headers == {"Authorization": "Bearer tok-123"}, headers
+        n = _state[url] = _state.get(url, 0) + 1
+        if n <= 2:
+            raise HttpStatusError(429, "rate limited", retry_after=0.0)
+        offset = int(url.split("offset=")[1].split("&")[0])
+        return json.dumps(
+            {"data": [{"id": offset + i} for i in range(10)]}
+        ).encode()
+
+    stream = DeclarativeStream(
+        url_template="http://fake/api?offset={offset}&limit={limit}",
+        pagination=OffsetPagination(limit=10, total_pages=3),
+        record_schema=T.StructType([T.StructField("id", T.LongType())]),
+        auth=TokenAuthenticator(token="tok-123"),
+        retry=RetryPolicy(max_retries=3),
+    )
+    df = paginated_read(spark, stream, flaky_fetch, num_partitions=1)
+    assert {r["id"] for r in df.collect()} == set(range(30))
+
+
+def test_retry_policy_units():
+    """Backoff schedule, Retry-After override, non-retryable passthrough,
+    retry exhaustion — all deterministic, no sleeping (injected clock)."""
+    import pytest
+
+    from airbyte_custom_spark.sources.http import (
+        HttpStatusError,
+        RetryPolicy,
+        fetch_with_policy,
+    )
+
+    p = RetryPolicy(max_retries=3, backoff_base_sec=0.5, backoff_max_sec=10.0)
+    assert [p.backoff(a) for a in range(6)] == [0.5, 1.0, 2.0, 4.0, 8.0, 10.0]
+    assert p.backoff(0, retry_after=7.0) == 7.0
+    assert p.backoff(0, retry_after=99.0) == 10.0  # capped
+
+    waits: list[float] = []
+    calls = {"n": 0}
+
+    def f503(url, headers):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise HttpStatusError(503)
+        return b"ok"
+
+    assert fetch_with_policy(f503, "u", {}, p, sleep=waits.append) == b"ok"
+    assert waits == [0.5, 1.0]
+
+    def f404(url, headers):
+        raise HttpStatusError(404, "gone")
+
+    with pytest.raises(HttpStatusError) as ei:
+        fetch_with_policy(f404, "u", {}, p, sleep=waits.append)
+    assert ei.value.status == 404 and len(waits) == 2  # no retry on 4xx
+
+    def always429(url, headers):
+        raise HttpStatusError(429, retry_after=0.0)
+
+    with pytest.raises(HttpStatusError):
+        fetch_with_policy(always429, "u", {}, p, sleep=waits.append)
+    assert len(waits) == 5  # 2 + max_retries sleeps, then give up
+
+
+def test_token_provider_resolves_at_fetch_time():
+    from airbyte_custom_spark.sources.http import TokenAuthenticator
+
+    vals = iter(["t1", "t2"])
+    auth = TokenAuthenticator(token=lambda: next(vals), prefix="")
+    assert auth.headers() == {"Authorization": "t1"}
+    assert auth.headers() == {"Authorization": "t2"}
