@@ -87,6 +87,10 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from airbyte_custom_spark.operators.dedupe import validate_primary_keys
+# is_widening: recursive equal-or-widening rule, shared with the
+# schema-diff stage and the Iceberg branch (round 4: struct subfield adds /
+# array element widens evolve in place — see schema.py::is_widening)
+from airbyte_custom_spark.schema import is_widening as _is_widening
 from airbyte_custom_spark.schema import with_meta_columns
 
 _META_DIR = "_meta"
@@ -111,17 +115,34 @@ class MergeResult:
     written_files: int = 0
 
 
-_WIDENINGS: set[tuple[str, str]] = {
-    ("integer", "long"),
-    ("integer", "double"),
-    ("long", "double"),
-    ("float", "double"),
-    ("date", "timestamp"),
-}
 
 
-def _is_widening(src: T.DataType, dst: T.DataType) -> bool:
-    return (src.typeName(), dst.typeName()) in _WIDENINGS
+def _align_expr(col: F.Column, src_t: T.DataType, dst_t: T.DataType) -> F.Column:
+    """Align one column from its stored type to the current table type.
+
+    Scalars use try_cast (= SAFE_CAST under ANSI mode: schema mismatch
+    must never fail replication, `airbyte-protocol.md:431-442`).  Complex
+    types align STRUCTURALLY — try_cast cannot add struct subfields, so a
+    struct widened by evolution (round 4: nested subfield adds) rebuilds
+    the value with NULLs for subfields the old files lack, preserving
+    NULL structs, and arrays align element-wise via transform."""
+    if src_t == dst_t:
+        return col
+    if isinstance(src_t, T.StructType) and isinstance(dst_t, T.StructType):
+        srcf = {f.name: f.dataType for f in src_t.fields}
+        inner = [
+            _align_expr(col.getField(f.name), srcf[f.name], f.dataType).alias(f.name)
+            if f.name in srcf
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in dst_t.fields
+        ]
+        return F.when(col.isNotNull(), F.struct(*inner)).otherwise(
+            F.lit(None).cast(dst_t)
+        )
+    if isinstance(src_t, T.ArrayType) and isinstance(dst_t, T.ArrayType):
+        se, de = src_t.elementType, dst_t.elementType
+        return F.transform(col, lambda x: _align_expr(x, se, de))
+    return col.try_cast(dst_t)
 
 
 class LakeTable:
@@ -354,13 +375,15 @@ class LakeTable:
         )
 
     def _align(self, df: DataFrame, target: T.StructType) -> DataFrame:
+        src = {f.name: f.dataType for f in df.schema.fields}
         cols = []
-        have = set(df.columns)
         for fld in target.fields:
-            if fld.name in have:
-                # try_cast = SAFE_CAST under ANSI mode: schema mismatch must
-                # never fail replication (`airbyte-protocol.md:431-442`)
-                cols.append(F.col(fld.name).try_cast(fld.dataType).alias(fld.name))
+            if fld.name in src:
+                cols.append(
+                    _align_expr(F.col(fld.name), src[fld.name], fld.dataType).alias(
+                        fld.name
+                    )
+                )
             else:
                 cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
         return df.select(*cols)

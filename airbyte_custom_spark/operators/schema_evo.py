@@ -26,13 +26,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-_WIDENINGS: set[tuple[str, str]] = {
-    ("integer", "long"),
-    ("integer", "double"),
-    ("long", "double"),
-    ("float", "double"),
-    ("date", "timestamp"),
-}
+from airbyte_custom_spark.schema import is_widening
 
 
 @dataclass
@@ -63,10 +57,11 @@ def diff_schemas(current: T.StructType, incoming: T.StructType) -> SchemaDiff:
         if name not in cur:
             d.added.append(T.StructField(name, f.dataType, True))
         elif f.dataType != cur[name].dataType:
-            pair = (cur[name].dataType.typeName(), f.dataType.typeName())
-            if pair in _WIDENINGS:
+            # recursive rule: scalar widenings, array element widenings,
+            # and struct subfield ADDS are all in-place evolutions
+            if is_widening(cur[name].dataType, f.dataType):
                 d.widened.append((name, cur[name].dataType, f.dataType))
-            elif (f.dataType.typeName(), cur[name].dataType.typeName()) in _WIDENINGS:
+            elif is_widening(f.dataType, cur[name].dataType):
                 # incoming is NARROWER — current already covers it; no-op
                 pass
             else:
@@ -141,6 +136,48 @@ def payload_keys(df: DataFrame, json_col: str) -> list[str]:
         .collect()
     )
     return sorted(r["k"] for r in rows)
+
+
+def discover_payload_keys(
+    df: DataFrame, json_col: str, struct_cols: list[str] | None = None
+) -> tuple[list[str], dict[str, list[str]]]:
+    """Exact key discovery, fused: ONE distributed aggregate returns the
+    batch's top-level payload key set AND, for each named struct-typed
+    column, its exact second-level key set (nested values arrive as raw
+    JSON text in the string map, so they re-parse as a map one level
+    down).  Tagged (column, key) pairs union through a single
+    explode→distinct — still only distinct strings cross the exchange.
+
+    Depth covered exactly: 2 (top-level always, subkeys of known struct
+    columns).  Deeper levels type/extend via the bounded driver sample —
+    a depth-3 key outside the sample lands inside its parent's typed
+    value only if the parent type already carries it (documented margin;
+    the first batch of a brand-new struct column is likewise
+    sample-typed, exact from its second batch on)."""
+    _map = T.MapType(T.StringType(), T.StringType())
+    pmap = F.from_json(F.col(json_col), _map)
+    entries = [F.struct(F.lit("").alias("c"), F.map_keys(pmap).alias("ks"))]
+    for c in struct_cols or []:
+        entries.append(
+            F.struct(
+                F.lit(c).alias("c"),
+                F.map_keys(F.from_json(pmap.getItem(c), _map)).alias("ks"),
+            )
+        )
+    rows = (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .select(F.col("e.c").alias("c"), F.explode(F.col("e.ks")).alias("k"))
+        .distinct()
+        .collect()
+    )
+    top: list[str] = []
+    nested: dict[str, list[str]] = {}
+    for r in rows:
+        if r["c"] == "":
+            top.append(r["k"])
+        else:
+            nested.setdefault(r["c"], []).append(r["k"])
+    return sorted(top), {c: sorted(ks) for c, ks in nested.items()}
 
 
 def _infer_value_type(values: list) -> T.DataType:

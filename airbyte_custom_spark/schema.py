@@ -210,3 +210,71 @@ def catalog_to_struct(stream_json_schema: dict) -> T.StructType:
     if isinstance(dt, T.StructType):
         return dt
     return T.StructType([T.StructField("value", dt, True)])
+
+
+# ---------------------------------------------------------------------------
+# Widening rules (E2) — shared by LakeTable.evolve_schema, IcebergTable, and
+# the schema-diff stage.  Recursive (round 4): a struct that GAINS subfields
+# (existing subfields equal-or-widened) and an array whose element type
+# widens are both compatible in-place evolutions — Spark's parquet reader
+# fills missing nested subfields with NULL and upcasts scalars on read, and
+# Iceberg's id-based columns support nested ADD COLUMN the same way.  A
+# struct that DROPS a subfield is a narrowing (soft_reset territory),
+# mirroring the top-level column rule (`AlterTableReport.java:1-25`).
+# ---------------------------------------------------------------------------
+
+SCALAR_WIDENINGS: set[tuple[str, str]] = {
+    ("integer", "long"),
+    ("integer", "double"),
+    ("long", "double"),
+    ("float", "double"),
+    ("date", "timestamp"),
+}
+
+
+def is_widening(src: T.DataType, dst: T.DataType) -> bool:
+    """True when ``src → dst`` is equal or a lossless widening, applied
+    recursively through arrays and structs."""
+    if src == dst:
+        return True
+    if (src.typeName(), dst.typeName()) in SCALAR_WIDENINGS:
+        return True
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        return is_widening(src.elementType, dst.elementType)
+    if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        dstf = {f.name: f for f in dst.fields}
+        for f in src.fields:
+            if f.name not in dstf:
+                return False  # nested drop = narrowing
+            if not is_widening(f.dataType, dstf[f.name].dataType):
+                return False
+        return True
+    return False
+
+
+def merge_nested(current: T.DataType, incoming: T.DataType) -> T.DataType:
+    """CDC-mode nested type merge: committed types stay AUTHORITATIVE
+    (lexical JSON inference must never retype an existing column — every
+    JSON int looks like a long, every ISO timestamp like a string,
+    `cdc.md:27`), but structs GAIN incoming-only subfields, recursively;
+    array element types merge the same way.  Kind mismatch → current.
+    The result is by construction equal-or-widening of ``current``
+    (additions only), so ``evolve_schema`` always accepts it."""
+    if isinstance(current, T.StructType) and isinstance(incoming, T.StructType):
+        inc = {f.name: f.dataType for f in incoming.fields}
+        cur_names = {f.name for f in current.fields}
+        out = [
+            T.StructField(
+                f.name, merge_nested(f.dataType, inc.get(f.name, f.dataType)), True
+            )
+            for f in current.fields
+        ]
+        out += [
+            T.StructField(f.name, f.dataType, True)
+            for f in incoming.fields
+            if f.name not in cur_names
+        ]
+        return T.StructType(out)
+    if isinstance(current, T.ArrayType) and isinstance(incoming, T.ArrayType):
+        return T.ArrayType(merge_nested(current.elementType, incoming.elementType))
+    return current

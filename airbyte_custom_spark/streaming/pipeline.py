@@ -406,29 +406,81 @@ class JsonCdcIngestJob(CdcIngestJob):
         from pyspark.sql import types as T
 
         from airbyte_custom_spark.operators.schema_evo import (
+            discover_payload_keys,
             evolve_table_for,
             infer_payload_schema,
-            payload_keys,
         )
         from airbyte_custom_spark.operators.typed import project_and_cast
+        from airbyte_custom_spark.schema import merge_nested
 
-        # EXACT key discovery — a distributed map_keys aggregate over the
-        # whole batch, not a driver sample (round-3 fix: a column whose
-        # first occurrence was past the sample silently lost its values
-        # for that batch).  The driver sample below is used ONLY to pick
-        # types for genuinely new keys; when every key is already a table
-        # column (the steady state), the sample job is skipped entirely.
-        keys = payload_keys(events, self.payload_col)
+        # EXACT key discovery — one distributed map_keys aggregate over the
+        # whole batch covering the top level AND known struct columns'
+        # subkeys, not a driver sample (round-3 fix: a column whose first
+        # occurrence was past the sample silently lost its values for that
+        # batch; round 4 extends the same guarantee one level down).  The
+        # driver sample below is used ONLY to pick types for genuinely new
+        # keys; when nothing new appears (the steady state), the sample
+        # job is skipped entirely.
         existing = set(table.payload_columns)
-        if any(k not in existing for k in keys):
+        cur_fields = {
+            f.name: f for f in table.schema().fields if f.name in existing
+        }
+        struct_cols = sorted(
+            n for n, f in cur_fields.items() if isinstance(f.dataType, T.StructType)
+        )
+        keys, nested_keys = discover_payload_keys(
+            events, self.payload_col, struct_cols
+        )
+        new_keys = [k for k in keys if k not in existing]
+        nested_new = {
+            c: [
+                k
+                for k in ks
+                if k not in {g.name for g in cur_fields[c].dataType.fields}
+            ]
+            for c, ks in nested_keys.items()
+        }
+        nested_new = {c: ks for c, ks in nested_new.items() if ks}
+
+        def _holds_struct(dt) -> bool:
+            if isinstance(dt, T.StructType):
+                return True
+            if isinstance(dt, T.ArrayType):
+                return _holds_struct(dt.elementType)
+            return False
+
+        # arrays-of-structs can gain subfields too, but only the sample
+        # can see inside them — re-infer whenever one exists
+        nested_arrays = any(
+            isinstance(f.dataType, T.ArrayType) and _holds_struct(f.dataType)
+            for f in cur_fields.values()
+        )
+        if new_keys or nested_new or nested_arrays:
             inferred = infer_payload_schema(events, self.payload_col, keys=keys)
+            inf = {f.name: f.dataType for f in inferred.fields}
+            merged_fields: list[T.StructField] = []
+            changed = False
+            for name, f in cur_fields.items():
+                m = merge_nested(f.dataType, inf.get(name, f.dataType))
+                # exact-discovered subkeys the sample missed → lossless
+                # string subfields (same late-key policy as the top level)
+                if isinstance(m, T.StructType):
+                    have = {g.name for g in m.fields}
+                    m = T.StructType(
+                        list(m.fields)
+                        + [
+                            T.StructField(k, T.StringType(), True)
+                            for k in nested_new.get(name, [])
+                            if k not in have
+                        ]
+                    )
+                if m != f.dataType:
+                    changed = True
+                merged_fields.append(T.StructField(name, m, True))
             new_fields = [f for f in inferred.fields if f.name not in existing]
-            if new_fields:
-                current = T.StructType(
-                    [f for f in table.schema().fields if f.name in existing]
-                )
+            if changed or new_fields:
                 evolve_table_for(
-                    table, T.StructType(list(current.fields) + new_fields)
+                    table, T.StructType(merged_fields + new_fields)
                 )
         target = T.StructType(
             [f for f in table.schema().fields if f.name in set(table.payload_columns)]

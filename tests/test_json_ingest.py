@@ -231,3 +231,110 @@ def test_payload_keys_exact_and_nested_inference_units(spark):
     sch = infer_payload_schema(df, "payload", keys=["a", "b", "c", "d", "zz"])
     assert [f.name for f in sch.fields if f.name == "zz"] == ["zz"]
     assert dict((f.name, f.dataType) for f in sch.fields)["zz"] == T.StringType()
+
+
+def test_json_ingest_struct_gains_subfield_mid_stream(spark, tmp_path):
+    """round-4: a payload struct that GAINS a subfield in a later batch
+    widens the table struct in place (nested E1/E2): earlier rows read
+    NULL for the new subfield, later rows carry typed values — no
+    restart, no soft reset."""
+    import json as _json
+
+    b1 = [(1, "c", _json.dumps({"conv_id": "a", "turn_idx": 0, "role": "user",
+                                "text": "t0", "meta": {"model": "m1"}}))]
+    b2 = [(2, "c", _json.dumps({"conv_id": "a", "turn_idx": 1, "role": "user",
+                                "text": "t1", "meta": {"model": "m2", "tokens": 9}}))]
+    src1, src2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    _envelope(spark, b1).coalesce(1).write.parquet(src1)
+    _envelope(spark, b2).coalesce(1).write.parquet(src2)
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    for i, src in enumerate((src1, src2)):
+        JsonCdcIngestJob(
+            spark, t.path, src, str(tmp_path / f"ck{i}"), IngestConfig()
+        ).run_available_now()
+    final = LakeTable.load(spark, t.path)
+    from pyspark.sql import types as T
+
+    meta_t = dict((f.name, f.dataType) for f in final.read().schema.fields)["meta"]
+    assert isinstance(meta_t, T.StructType)
+    assert {f.name for f in meta_t.fields} == {"model", "tokens"}
+    got = {r["turn_idx"]: r for r in final.read().collect()}
+    assert got[0]["meta"]["model"] == "m1" and got[0]["meta"]["tokens"] is None
+    assert got[1]["meta"]["model"] == "m2" and got[1]["meta"]["tokens"] == 9
+
+
+def test_json_ingest_late_nested_subkey_past_sample_survives(spark, tmp_path):
+    """round-4: the exact-discovery guarantee extends one level down — a
+    struct SUBFIELD whose first occurrence is beyond the 2,048-row sample
+    still lands (as a lossless string subfield) because second-level keys
+    of known struct columns come from the fused distributed aggregate."""
+    import json as _json
+
+    # batch 1 establishes `meta` as a struct column
+    b1 = [(1, "c", _json.dumps({"conv_id": "z", "turn_idx": 0, "role": "user",
+                                "text": "t", "meta": {"model": "m0"}}))]
+    rows = []
+    for i in range(3000):
+        m = {"model": f"m{i}"}
+        if i >= 2900:
+            m["late_sub"] = f"ls-{i}"
+        rows.append((i + 2, "c", _json.dumps(
+            {"conv_id": f"c{i}", "turn_idx": 0, "role": "user",
+             "text": f"t{i}", "meta": m})))
+    src1, src2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    _envelope(spark, b1).coalesce(1).write.parquet(src1)
+    _envelope(spark, rows).coalesce(1).write.parquet(src2)  # ONE batch
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    for i, src in enumerate((src1, src2)):
+        JsonCdcIngestJob(
+            spark, t.path, src, str(tmp_path / f"ck{i}"), IngestConfig()
+        ).run_available_now()
+    final = LakeTable.load(spark, t.path)
+    got = final.read().filter("meta.late_sub is not null")
+    assert got.count() == 100
+    assert got.filter("meta.late_sub = 'ls-2950'").count() == 1
+
+
+def test_recursive_widening_and_merge_units():
+    from pyspark.sql import types as T
+
+    from airbyte_custom_spark.schema import is_widening, merge_nested
+
+    S, L, Str = T.StructField, T.LongType(), T.StringType()
+    s_a = T.StructType([S("a", Str)])
+    s_ab = T.StructType([S("a", Str), S("b", L)])
+    # struct ADD is widening; DROP is not; subfield widen recurses
+    assert is_widening(s_a, s_ab) and not is_widening(s_ab, s_a)
+    assert is_widening(T.StructType([S("a", T.IntegerType())]),
+                       T.StructType([S("a", L)]))
+    assert not is_widening(T.StructType([S("a", L)]),
+                           T.StructType([S("a", T.IntegerType())]))
+    # array element widening, incl. array-of-struct subfield adds
+    assert is_widening(T.ArrayType(T.IntegerType()), T.ArrayType(L))
+    assert is_widening(T.ArrayType(s_a), T.ArrayType(s_ab))
+    assert not is_widening(T.ArrayType(Str), T.ArrayType(L))
+    # scalars unchanged
+    assert is_widening(T.IntegerType(), L) and not is_widening(L, Str)
+    # merge: current authoritative for overlaps, gains incoming-only
+    m = merge_nested(s_a, T.StructType([S("a", L), S("b", L)]))
+    assert m == T.StructType([S("a", Str), S("b", L)])  # a stays string
+    m2 = merge_nested(T.ArrayType(s_a), T.ArrayType(s_ab))
+    assert m2 == T.ArrayType(T.StructType([S("a", Str), S("b", L)]))
+    # kind mismatch → current wins
+    assert merge_nested(Str, s_ab) == Str
+    assert merge_nested(s_a, Str) == s_a
+
+
+def test_discover_payload_keys_fused(spark):
+    from airbyte_custom_spark.operators.schema_evo import discover_payload_keys
+
+    df = spark.createDataFrame(
+        [('{"a": 1, "m": {"x": 1}}',), ('{"b": 2, "m": {"y": [1]}, "n": {"z": 0}}',)],
+        "payload string",
+    )
+    top, nested = discover_payload_keys(df, "payload", ["m", "n"])
+    assert top == ["a", "b", "m", "n"]
+    assert nested == {"m": ["x", "y"], "n": ["z"]}
+    # struct column absent from a row / non-object value: no phantom keys
+    top2, nested2 = discover_payload_keys(df, "payload", ["a"])
+    assert nested2 == {}
