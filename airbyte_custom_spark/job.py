@@ -71,6 +71,13 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
              "ADD-column evolution + typed extraction",
     )
     t.add_argument(
+        "--raw-table", default=None,
+        help="with --json-payload: ALSO append every envelope row to this "
+             "append-only raw LakeTable before typing (reference raw/final "
+             "two-table layout; payload bytes never lost, re-typeable via "
+             "lake.raw.retype_from_raw)",
+    )
+    t.add_argument(
         "--max-empty-polls", type=int, default=0,
         help="with --follow: stop + fail after N consecutive no-data "
              "triggers (C10 liveness; 0 = run forever)",
@@ -148,9 +155,14 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             salt_buckets=args.salt,
         )
         job_cls = JsonCdcIngestJob if args.json_payload else CdcIngestJob
+        extra = {}
+        if args.json_payload and args.raw_table:
+            extra["raw_table_path"] = args.raw_table
+        elif args.raw_table:
+            ap.error("--raw-table requires --json-payload")
         job = job_cls(
             spark, args.table, args.source, args.checkpoint, cfg,
-            target_lsn=args.target_lsn,
+            target_lsn=args.target_lsn, **extra,
         )
         if args.follow and args.max_empty_polls > 0:
             job.run_continuous(

@@ -65,3 +65,53 @@ def dedup_raw_table(raw: LakeTable, applied_lsn_watermark: int | None = None) ->
     snap["manifests"] = [raw._write_data(keep, snap)]
     raw._commit(snap)
     return snap["version"]
+
+
+def retype_from_raw(
+    raw: LakeTable,
+    final_path: str,
+    payload_schema=None,
+    primary_key: tuple[str, ...] = ("conv_id", "turn_idx"),
+    num_buckets: int = 16,
+    payload_col: str = "payload",
+) -> LakeTable:
+    """Rebuild a typed FINAL table from retained raw JSON envelopes — the
+    reference's re-type-from-raw guarantee (`typing-deduping.md:5-70`:
+    `_airbyte_data` keeps every payload byte, so any typing decision can
+    be revisited by re-running T+D).  ``raw`` is the append-only envelope
+    table a `JsonCdcIngestJob(raw_table_path=…)` maintains.
+
+    With ``payload_schema`` None, the schema is re-derived: EXACT key set
+    via the distributed aggregate, types from the bounded sample — i.e.
+    the same inference the stream ran, but over all history at once (so a
+    type that stabilized late applies to every row).  One merge call =
+    one WindowGroupLimit reduce over the full history; delete events
+    tombstone their keys exactly as live ingest would."""
+    from airbyte_custom_spark.operators.schema_evo import (
+        infer_payload_schema,
+        payload_keys,
+    )
+    from airbyte_custom_spark.operators.typed import extract_payload
+
+    rows = raw.read(include_deleted=True, include_meta=True)
+    env_cols = [
+        c
+        for c in ("op", "_ab_cdc_updated_at", "_ab_cdc_deleted_at", "source_partition")
+        if c in rows.columns
+    ]
+    events = rows.select(
+        F.col("_lsn").alias("lsn"), F.col(payload_col), *[F.col(c) for c in env_cols]
+    )
+    if payload_schema is None:
+        keys = payload_keys(events, payload_col)
+        payload_schema = infer_payload_schema(events, payload_col, keys=keys)
+    final = LakeTable.create(
+        raw.spark,
+        final_path,
+        payload_schema,
+        primary_key=primary_key,
+        num_buckets=num_buckets,
+    )
+    typed = extract_payload(events, payload_schema, payload_col)
+    final.merge(typed, batch_id=0, query_id="retype-from-raw")
+    return final

@@ -601,12 +601,28 @@ class LakeTable:
 
     # -- append / overwrite (destination_sync_mode append | overwrite) ------
 
-    def append(self, events_df: DataFrame, extracted_at: datetime | None = None) -> int:
-        """Raw append — no dedup (destination mode `append`)."""
+    def append(
+        self,
+        events_df: DataFrame,
+        extracted_at: datetime | None = None,
+        batch_id: int | None = None,
+        query_id: str = "default",
+    ) -> int | None:
+        """Raw append — no dedup (destination mode `append`).
+
+        With ``batch_id``, the append is exactly-once per (query_id,
+        batch_id) via the same applied-manifest skip the merge uses —
+        an append-only RAW table fed from a replayable stream must not
+        double-append on batch replay (the merge is naturally idempotent,
+        an append is not).  Returns None on a replay skip."""
+        if batch_id is not None and batch_id <= self.last_committed_batch(query_id):
+            return None
         rows = self._finalize_rows(events_df, extracted_at)
         snap = self._next_snapshot("append")
         ref = self._write_data(rows, snap)
         snap["manifests"] = self.snapshot["manifests"] + [ref]
+        if batch_id is not None:
+            snap["applied"] = {**self.snapshot["applied"], query_id: batch_id}
         self._commit(snap)
         return snap["version"]
 

@@ -85,6 +85,25 @@ def project_and_cast(
     return df.select(*select_list)
 
 
+def extract_payload(
+    events: DataFrame, target: T.StructType, payload_col: str = "payload"
+) -> DataFrame:
+    """Raw-JSON envelope → typed rows: parse ``payload_col`` once to a
+    string map (nested values arrive as raw JSON text), project every
+    target field out of it, then apply ``project_and_cast`` (scalars via
+    try_cast, complex fields via typed per-field from_json, per-row error
+    capture).  Shared by the streaming JSON ingest and the
+    retype-from-raw rebuild (`lake/raw.py::retype_from_raw`)."""
+    pmap = F.from_json(
+        F.col(payload_col), T.MapType(T.StringType(), T.StringType())
+    )
+    raw = events.select(
+        *[F.col(c) for c in events.columns if c != payload_col],
+        *[pmap.getItem(f.name).alias(f.name) for f in target.fields],
+    )
+    return project_and_cast(raw, target)
+
+
 def inject_cdc_metadata(
     df: DataFrame,
     lsn_col: str = "lsn",

@@ -151,11 +151,14 @@ class CdcIngestJob:
             return batch_df
         return self.spark.read.schema(self._stream_schema()).parquet(*files)
 
-    def _transform_batch(self, events: DataFrame, table: LakeTable) -> DataFrame:
+    def _transform_batch(
+        self, events: DataFrame, table: LakeTable, batch_id: int
+    ) -> DataFrame:
         """Per-batch transform hook, applied before validation/stats/merge.
         The base job ingests already-typed events; `JsonCdcIngestJob`
         overrides this with the schema-inference + evolution + typed-cast
-        stage."""
+        stage (and, when configured, the raw-envelope append keyed by
+        ``batch_id``)."""
         return events
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -176,7 +179,7 @@ class CdcIngestJob:
         events = self._resolve_batch(batch_df, batch_id)
         if self.target_lsn is not None:
             events = events.filter(F.col("lsn") <= F.lit(self.target_lsn))
-        events = self._transform_batch(events, table)
+        events = self._transform_batch(events, table, batch_id)
 
         # ONE metadata aggregation replaces three separate jobs (validate /
         # lineage / touched-buckets): group by (source_partition, bucket) —
@@ -393,16 +396,52 @@ class JsonCdcIngestJob(CdcIngestJob):
     applies idempotently.
     """
 
-    def __init__(self, *args, payload_col: str = "payload", **kwargs):
+    def __init__(
+        self,
+        *args,
+        payload_col: str = "payload",
+        raw_table_path: str | None = None,
+        raw_num_buckets: int = 8,
+        **kwargs,
+    ):
         super().__init__(*args, **kwargs)
         self.payload_col = payload_col
+        # optional raw-table retention (reference raw/final two-table
+        # layout, `JavaBaseConstants.java:29-39`): every envelope row —
+        # including the opaque payload text — is appended to an
+        # append-only LakeTable before typing, so NO typing decision can
+        # ever lose payload bytes and the final table can be rebuilt with
+        # different types at any time (`lake/raw.py::retype_from_raw`)
+        self.raw_table_path = raw_table_path
+        self.raw_num_buckets = raw_num_buckets
 
     def _stream_schema(self):
         from airbyte_custom_spark.schema import JSON_CDC_EVENT_SCHEMA
 
         return JSON_CDC_EVENT_SCHEMA
 
-    def _transform_batch(self, events: DataFrame, table: LakeTable) -> DataFrame:
+    def _raw_table(self) -> LakeTable:
+        from pyspark.sql import types as T
+
+        if LakeTable.exists(self.raw_table_path):
+            return LakeTable.load(self.spark, self.raw_table_path)
+        # payload columns = the full envelope minus lsn (lsn → _lsn meta);
+        # bucketed by source_partition — appends land partition-aligned,
+        # matching the per-partition offset/lineage story
+        env = T.StructType(
+            [f for f in self._stream_schema().fields if f.name != "lsn"]
+        )
+        return LakeTable.create(
+            self.spark,
+            self.raw_table_path,
+            env,
+            primary_key=("source_partition",),
+            num_buckets=self.raw_num_buckets,
+        )
+
+    def _transform_batch(
+        self, events: DataFrame, table: LakeTable, batch_id: int
+    ) -> DataFrame:
         from pyspark.sql import types as T
 
         from airbyte_custom_spark.operators.schema_evo import (
@@ -410,8 +449,19 @@ class JsonCdcIngestJob(CdcIngestJob):
             evolve_table_for,
             infer_payload_schema,
         )
-        from airbyte_custom_spark.operators.typed import project_and_cast
+        from airbyte_custom_spark.operators.typed import extract_payload
         from airbyte_custom_spark.schema import merge_nested
+
+        if self.raw_table_path is not None:
+            # raw FIRST, typed second (reference write order,
+            # `typing-deduping.md:5-70`): a crash in between replays the
+            # batch — the raw append skips via its manifest, the merge
+            # applies; exactly-once on both tables from one checkpoint
+            self._raw_table().append(
+                events,
+                batch_id=batch_id,
+                query_id=f"{self._manifest_query_id()}/raw",
+            )
 
         # EXACT key discovery — one distributed map_keys aggregate over the
         # whole batch covering the top level AND known struct columns'
@@ -492,14 +542,7 @@ class JsonCdcIngestJob(CdcIngestJob):
         # on any field mismatch).  Scalars go through try_cast; complex
         # fields through a typed per-field from_json (project_and_cast
         # picks per field).
-        pmap = F.from_json(
-            F.col(self.payload_col), T.MapType(T.StringType(), T.StringType())
-        )
-        raw = events.select(
-            *[F.col(c) for c in events.columns if c != self.payload_col],
-            *[pmap.getItem(f.name).alias(f.name) for f in target.fields],
-        )
-        return project_and_cast(raw, target)
+        return extract_payload(events, target, self.payload_col)
 
 
 class GlobalStateIngestJob(CdcIngestJob):
