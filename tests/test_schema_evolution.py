@@ -164,3 +164,71 @@ def test_infer_payload_schema(spark):
     assert st["flag"].dataType == T.BooleanType()
     assert st["tags"].dataType == T.ArrayType(T.StringType())
     assert "extra" in st.fieldNames()
+
+
+def test_nested_incompatible_retype_detected_and_soft_reset_works(spark, tmp_path):
+    """round-4 nested rules: a struct SUBFIELD retype (string→long) is an
+    incompatible change — diff flags it, in-place evolution raises — and
+    soft_reset rebuilds under the new nested schema with per-value
+    try_cast semantics (unparseable values → NULL, never a failure)."""
+    meta_v1 = T.StructType([T.StructField("model", T.StringType())])
+    meta_v2 = T.StructType([T.StructField("model", T.LongType())])
+    payload_v1 = T.StructType(
+        list(TRANSCRIPT_SCHEMA.fields) + [T.StructField("meta", meta_v1, True)]
+    )
+    payload_v2 = T.StructType(
+        list(TRANSCRIPT_SCHEMA.fields) + [T.StructField("meta", meta_v2, True)]
+    )
+    d = diff_schemas(payload_v1, payload_v2)
+    assert [n for n, *_ in d.incompatible] == ["meta"]
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), payload_v1, num_buckets=2)
+    rows = spark.createDataFrame(
+        [(1, "c", "a", 0, "user", "x", None, None, ("7",)),
+         (2, "c", "a", 1, "user", "y", None, None, ("not-a-number",))],
+        T.StructType([
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            *payload_v1.fields[:6],
+            T.StructField("meta", meta_v1, True),
+        ]),
+    )
+    t.merge(rows, batch_id=0)
+    with pytest.raises(SchemaEvolutionError):
+        t.evolve_schema(payload_v2)
+    t.soft_reset(payload_v2)
+    got = {r["turn_idx"]: r for r in t.read().collect()}
+    assert got[0]["meta"]["model"] == 7          # parseable → typed
+    assert got[1]["meta"]["model"] is None       # unparseable → NULL, kept
+
+
+def test_nested_struct_add_is_inplace_evolution(spark, tmp_path):
+    """Struct subfield ADD evolves in place (no rewrite): version bumps by
+    exactly one metadata-only commit and OLD files read back with NULL for
+    the new subfield."""
+    meta_v1 = T.StructType([T.StructField("model", T.StringType())])
+    meta_v2 = T.StructType(
+        [T.StructField("model", T.StringType()), T.StructField("tokens", T.LongType())]
+    )
+    payload_v1 = T.StructType(
+        list(TRANSCRIPT_SCHEMA.fields) + [T.StructField("meta", meta_v1, True)]
+    )
+    payload_v2 = T.StructType(
+        list(TRANSCRIPT_SCHEMA.fields) + [T.StructField("meta", meta_v2, True)]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), payload_v1, num_buckets=2)
+    rows = spark.createDataFrame(
+        [(1, "c", "a", 0, "user", "x", None, None, ("m1",))],
+        T.StructType([
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            *payload_v1.fields[:6],
+            T.StructField("meta", meta_v1, True),
+        ]),
+    )
+    t.merge(rows, batch_id=0)
+    v_before = t.version
+    t.evolve_schema(payload_v2)
+    assert t.version == v_before + 1  # one metadata commit, no rewrite
+    row = t.read().first()
+    assert row["meta"]["model"] == "m1" and row["meta"]["tokens"] is None
