@@ -231,6 +231,41 @@ def q_json_nested_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_raw_retype_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-retention roundtrip (round 4): the JSON ingest ALSO appends
+    every envelope verbatim to an append-only raw table
+    (`JavaBaseConstants.java:29-39` `_airbyte_data` semantics), then the
+    final table is REBUILT purely from that raw table
+    (`lake/raw.py::retype_from_raw`) — the rebuilt state must equal the
+    window-SQL replay, proving payload bytes survive retention and the
+    re-type path reproduces live typing exactly."""
+    from airbyte_custom_spark.lake.raw import retype_from_raw
+    from airbyte_custom_spark.sources.generator import json_envelope
+    from airbyte_custom_spark.streaming.pipeline import JsonCdcIngestJob
+
+    ev = events_from_table(spark, sf_dir)
+    src = _fresh_dir("rrwal")
+    write_event_chunks(json_envelope(ev), src, n_chunks=4)
+    t = LakeTable.create(spark, _fresh_dir("rrtbl"), TRANSCRIPT_SCHEMA, num_buckets=16)
+    raw_path = _fresh_dir("rrraw")
+    job = JsonCdcIngestJob(
+        spark,
+        t.path,
+        src,
+        _fresh_dir("rrckpt"),
+        IngestConfig(max_files_per_trigger=2),
+        raw_table_path=raw_path,
+    )
+    job.run_available_now()
+    rebuilt = retype_from_raw(
+        LakeTable.load(spark, raw_path),
+        _fresh_dir("rrfinal"),
+        payload_schema=TRANSCRIPT_SCHEMA,
+        num_buckets=16,
+    )
+    return _final_payload(rebuilt.read())
+
+
 def q_raw_table_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 end-to-end through the raw/final two-table path: append every
     event version to an append-only raw table, dedupRawTable it, read the
@@ -607,6 +642,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": q_cdc_final_state,
         "json_cdc_final_state": q_json_cdc_final_state,
         "json_nested_final_state": q_json_nested_final_state,
+        "json_raw_retype_final_state": q_json_raw_retype_final_state,
         "cdc_final_state_incremental": q_cdc_final_state_incremental,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
         "raw_table_dedup": q_raw_table_dedup,
@@ -681,6 +717,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_final_state_incremental": _ORACLE_FINAL,
         "cdc_stream_tail_final_state": _ORACLE_FINAL,
+        # retained-raw rebuild must converge to the same replayed state
+        "json_raw_retype_final_state": _ORACLE_FINAL,
         # the raw/final path must converge to the same replayed state
         "raw_table_dedup": _ORACLE_FINAL,
         "incremental_cursor_scan": f"""

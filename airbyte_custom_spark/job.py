@@ -9,7 +9,10 @@ Usage (local or cluster; package shipped via --py-files):
   ... job_main.py backfill --table /data/tbl --snapshot /data/snap.parquet
   ... job_main.py tail --table /data/tbl --source /data/seg --checkpoint /data/ckpt
         [--follow] [--target-lsn N] [--max-files N] [--salt N]
-  ... job_main.py tail ... --json-payload      # raw _airbyte_data JSON source
+  ... job_main.py tail ... --json-payload [--raw-table /data/raw]
+                                          # raw _airbyte_data JSON source
+  ... job_main.py retype --raw-table /data/raw --out-table /data/tbl2 \
+        [--schema-json '<StructType json>']   # rebuild typed from raw
   ... job_main.py snapshot --table /data/tbl --source /data/snap.parquet \
         --state /data/snapstate --pk-col row_id [--chunk-size N]   # resumable
   ... job_main.py show --table /data/tbl [--limit 20]
@@ -92,6 +95,20 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     sn.add_argument("--pk-col", required=True, help="numeric column to chunk on")
     sn.add_argument("--chunk-size", type=int, default=1_000_000)
     sn.add_argument("--base-lsn", type=int, default=0)
+
+    rt = sub.add_parser(
+        "retype",
+        help="rebuild a final table from a retained raw envelope table "
+             "(reference re-type-from-raw guarantee)",
+    )
+    rt.add_argument("--raw-table", required=True)
+    rt.add_argument("--out-table", required=True, help="fresh final table path")
+    rt.add_argument(
+        "--schema-json", default=None,
+        help="optional Spark StructType JSON for the new typing decision; "
+             "omitted = re-derive (exact keys + sampled types)",
+    )
+    rt.add_argument("--buckets", type=int, default=16)
 
     s = sub.add_parser("show", help="print final table rows")
     s.add_argument("--table", required=True)
@@ -184,6 +201,27 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                     }
                 )
             )
+    elif args.cmd == "retype":
+        from pyspark.sql import types as T_
+
+        from airbyte_custom_spark.lake.raw import retype_from_raw
+
+        schema = None
+        if args.schema_json:
+            schema = T_.StructType.fromJson(json.loads(args.schema_json))
+        raw_t = LakeTable.load(spark, args.raw_table)
+        final = retype_from_raw(
+            raw_t, args.out_table, payload_schema=schema, num_buckets=args.buckets
+        )
+        print(
+            json.dumps(
+                {
+                    "out_table": args.out_table,
+                    "rows": final.read().count(),
+                    "columns": final.payload_columns,
+                }
+            )
+        )
     elif args.cmd == "show":
         t_ = LakeTable.load(spark, args.table)
         t_.read().orderBy("conv_id", "turn_idx").show(args.limit, truncate=False)
