@@ -442,16 +442,6 @@ class JsonCdcIngestJob(CdcIngestJob):
     def _transform_batch(
         self, events: DataFrame, table: LakeTable, batch_id: int
     ) -> DataFrame:
-        from pyspark.sql import types as T
-
-        from airbyte_custom_spark.operators.schema_evo import (
-            discover_payload_keys,
-            evolve_table_for,
-            infer_payload_schema,
-        )
-        from airbyte_custom_spark.operators.typed import extract_payload
-        from airbyte_custom_spark.schema import merge_nested
-
         if self.raw_table_path is not None:
             # raw FIRST, typed second (reference write order,
             # `typing-deduping.md:5-70`): a crash in between replays the
@@ -462,87 +452,107 @@ class JsonCdcIngestJob(CdcIngestJob):
                 batch_id=batch_id,
                 query_id=f"{self._manifest_query_id()}/raw",
             )
+        return infer_evolve_extract(events, table, self.payload_col)
 
-        # EXACT key discovery — one distributed map_keys aggregate over the
-        # whole batch covering the top level AND known struct columns'
-        # subkeys, not a driver sample (round-3 fix: a column whose first
-        # occurrence was past the sample silently lost its values for that
-        # batch; round 4 extends the same guarantee one level down).  The
-        # driver sample below is used ONLY to pick types for genuinely new
-        # keys; when nothing new appears (the steady state), the sample
-        # job is skipped entirely.
-        existing = set(table.payload_columns)
-        cur_fields = {
-            f.name: f for f in table.schema().fields if f.name in existing
-        }
-        struct_cols = sorted(
-            n for n, f in cur_fields.items() if isinstance(f.dataType, T.StructType)
-        )
-        keys, nested_keys = discover_payload_keys(
-            events, self.payload_col, struct_cols
-        )
-        new_keys = [k for k in keys if k not in existing]
-        nested_new = {
-            c: [
-                k
-                for k in ks
-                if k not in {g.name for g in cur_fields[c].dataType.fields}
-            ]
-            for c, ks in nested_keys.items()
-        }
-        nested_new = {c: ks for c, ks in nested_new.items() if ks}
 
-        def _holds_struct(dt) -> bool:
-            if isinstance(dt, T.StructType):
-                return True
-            if isinstance(dt, T.ArrayType):
-                return _holds_struct(dt.elementType)
-            return False
+def infer_evolve_extract(
+    events: DataFrame, table: LakeTable, payload_col: str = "payload"
+) -> DataFrame:
+    """The JSON typing stage shared by `JsonCdcIngestJob` and
+    `JsonGlobalStateIngestJob`: exact key discovery → nested-aware
+    inference → in-place evolution → typed extraction with per-row
+    error capture.  One batch in, one typed frame out; the table may be
+    evolved as a side effect."""
+    from pyspark.sql import types as T
 
-        # arrays-of-structs can gain subfields too, but only the sample
-        # can see inside them — re-infer whenever one exists
-        nested_arrays = any(
-            isinstance(f.dataType, T.ArrayType) and _holds_struct(f.dataType)
-            for f in cur_fields.values()
-        )
-        if new_keys or nested_new or nested_arrays:
-            inferred = infer_payload_schema(events, self.payload_col, keys=keys)
-            inf = {f.name: f.dataType for f in inferred.fields}
-            merged_fields: list[T.StructField] = []
-            changed = False
-            for name, f in cur_fields.items():
-                m = merge_nested(f.dataType, inf.get(name, f.dataType))
-                # exact-discovered subkeys the sample missed → lossless
-                # string subfields (same late-key policy as the top level)
-                if isinstance(m, T.StructType):
-                    have = {g.name for g in m.fields}
-                    m = T.StructType(
-                        list(m.fields)
-                        + [
-                            T.StructField(k, T.StringType(), True)
-                            for k in nested_new.get(name, [])
-                            if k not in have
-                        ]
-                    )
-                if m != f.dataType:
-                    changed = True
-                merged_fields.append(T.StructField(name, m, True))
-            new_fields = [f for f in inferred.fields if f.name not in existing]
-            if changed or new_fields:
-                evolve_table_for(
-                    table, T.StructType(merged_fields + new_fields)
+    from airbyte_custom_spark.operators.schema_evo import (
+        discover_payload_keys,
+        evolve_table_for,
+        infer_payload_schema,
+    )
+    from airbyte_custom_spark.operators.typed import extract_payload
+    from airbyte_custom_spark.schema import merge_nested
+
+    # EXACT key discovery — one distributed map_keys aggregate over the
+    # whole batch covering the top level AND known struct columns'
+    # subkeys, not a driver sample (round-3 fix: a column whose first
+    # occurrence was past the sample silently lost its values for that
+    # batch; round 4 extends the same guarantee one level down).  The
+    # driver sample below is used ONLY to pick types for genuinely new
+    # keys; when nothing new appears (the steady state), the sample
+    # job is skipped entirely.
+    existing = set(table.payload_columns)
+    cur_fields = {
+        f.name: f for f in table.schema().fields if f.name in existing
+    }
+    struct_cols = sorted(
+        n for n, f in cur_fields.items() if isinstance(f.dataType, T.StructType)
+    )
+    keys, nested_keys = discover_payload_keys(
+        events, payload_col, struct_cols
+    )
+    new_keys = [k for k in keys if k not in existing]
+    nested_new = {
+        c: [
+            k
+            for k in ks
+            if k not in {g.name for g in cur_fields[c].dataType.fields}
+        ]
+        for c, ks in nested_keys.items()
+    }
+    nested_new = {c: ks for c, ks in nested_new.items() if ks}
+
+    def _holds_struct(dt) -> bool:
+        if isinstance(dt, T.StructType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _holds_struct(dt.elementType)
+        return False
+
+    # arrays-of-structs can gain subfields too, but only the sample
+    # can see inside them — re-infer whenever one exists
+    nested_arrays = any(
+        isinstance(f.dataType, T.ArrayType) and _holds_struct(f.dataType)
+        for f in cur_fields.values()
+    )
+    if new_keys or nested_new or nested_arrays:
+        inferred = infer_payload_schema(events, payload_col, keys=keys)
+        inf = {f.name: f.dataType for f in inferred.fields}
+        merged_fields: list[T.StructField] = []
+        changed = False
+        for name, f in cur_fields.items():
+            m = merge_nested(f.dataType, inf.get(name, f.dataType))
+            # exact-discovered subkeys the sample missed → lossless
+            # string subfields (same late-key policy as the top level)
+            if isinstance(m, T.StructType):
+                have = {g.name for g in m.fields}
+                m = T.StructType(
+                    list(m.fields)
+                    + [
+                        T.StructField(k, T.StringType(), True)
+                        for k in nested_new.get(name, [])
+                        if k not in have
+                    ]
                 )
-        target = T.StructType(
-            [f for f in table.schema().fields if f.name in set(table.payload_columns)]
-        )
-        # parse once to string-valued fields (nested values arrive as raw
-        # JSON text); types are applied by the projection so per-field
-        # failures are captured per row instead of nulling the whole
-        # record (from_json with a full typed schema nulls the entire row
-        # on any field mismatch).  Scalars go through try_cast; complex
-        # fields through a typed per-field from_json (project_and_cast
-        # picks per field).
-        return extract_payload(events, target, self.payload_col)
+            if m != f.dataType:
+                changed = True
+            merged_fields.append(T.StructField(name, m, True))
+        new_fields = [f for f in inferred.fields if f.name not in existing]
+        if changed or new_fields:
+            evolve_table_for(
+                table, T.StructType(merged_fields + new_fields)
+            )
+    target = T.StructType(
+        [f for f in table.schema().fields if f.name in set(table.payload_columns)]
+    )
+    # parse once to string-valued fields (nested values arrive as raw
+    # JSON text); types are applied by the projection so per-field
+    # failures are captured per row instead of nulling the whole
+    # record (from_json with a full typed schema nulls the entire row
+    # on any field mismatch).  Scalars go through try_cast; complex
+    # fields through a typed per-field from_json (project_and_cast
+    # picks per field).
+    return extract_payload(events, target, payload_col)
 
 
 class GlobalStateIngestJob(CdcIngestJob):
@@ -577,6 +587,20 @@ class GlobalStateIngestJob(CdcIngestJob):
 
     def _stream_schema(self):
         return T_STREAMED_EVENT
+
+    def _typed_input(self) -> bool:
+        """True when the source events carry typed pk columns (so pk
+        validation fuses into the global stats agg); the JSON variant
+        returns False and validates per typed slice instead."""
+        return True
+
+    def _transform_stream_batch(
+        self, part: DataFrame, table, batch_id: int, stream: str
+    ) -> DataFrame:
+        """Per-stream transform hook, applied to each stream's slice
+        before validation/merge (the JSON variant runs inference +
+        evolution + typed extraction here, against THAT stream's table)."""
+        return part
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Single-pass multi-stream apply (round-3 fix): the micro-batch is
@@ -614,20 +638,25 @@ class GlobalStateIngestJob(CdcIngestJob):
         batch_df.persist(StorageLevel.DISK_ONLY)
         try:
             # one null-pk flag per DISTINCT primary-key tuple across the
-            # pending streams (usually exactly one)
+            # pending streams (usually exactly one).  With an UNTYPED
+            # source (JsonGlobalStateIngestJob: pk columns live inside the
+            # JSON payload), pk validation moves to the per-stream typed
+            # slice below instead.
+            typed_input = self._typed_input()
             pk_sets: dict[tuple[str, ...], int] = {}
-            for table, _ in pending.values():
-                pk_sets.setdefault(tuple(table.primary_key), len(pk_sets))
             aggs = [
                 F.count(F.lit(1)).alias("events"),
                 F.min("lsn").alias("min_lsn"),
                 F.max("lsn").alias("max_lsn"),
             ]
-            for pk, i in pk_sets.items():
-                flag = F.lit(False)
-                for k in pk:
-                    flag = flag | F.col(k).isNull()
-                aggs.append(F.sum(flag.cast("int")).alias(f"null_pk_{i}"))
+            if typed_input:
+                for table, _ in pending.values():
+                    pk_sets.setdefault(tuple(table.primary_key), len(pk_sets))
+                for pk, i in pk_sets.items():
+                    flag = F.lit(False)
+                    for k in pk:
+                        flag = flag | F.col(k).isNull()
+                    aggs.append(F.sum(flag.cast("int")).alias(f"null_pk_{i}"))
             stats = (
                 batch_df.groupBy(
                     F.col(self.stream_col).alias("st"),
@@ -640,8 +669,23 @@ class GlobalStateIngestJob(CdcIngestJob):
             total_ignored = 0
             for stream, (table, qid) in pending.items():
                 srows = [r for r in stats if r["st"] == stream]
-                pk_idx = pk_sets[tuple(table.primary_key)]
-                n_bad = sum(r[f"null_pk_{pk_idx}"] for r in srows)
+                part = batch_df.filter(F.col(self.stream_col) == stream).drop(
+                    self.stream_col
+                )
+                part = self._transform_stream_batch(part, table, batch_id, stream)
+                pk_flag = F.lit(False)
+                for k in table.primary_key:
+                    pk_flag = pk_flag | F.col(k).isNull()
+                if typed_input:
+                    pk_idx = pk_sets[tuple(table.primary_key)]
+                    n_bad = sum(r[f"null_pk_{pk_idx}"] for r in srows)
+                elif self.config.validate_pk:
+                    # untyped source: count violations on the typed slice
+                    # (the slice reads the cached batch, so this is one
+                    # cheap pass, not a source rescan)
+                    n_bad = part.filter(pk_flag).count()
+                else:
+                    n_bad = 0
                 ignored = 0
                 if self.config.validate_pk and n_bad > 0:
                     if self.config.pk_violations == "fail":
@@ -667,14 +711,8 @@ class GlobalStateIngestJob(CdcIngestJob):
                             d["source_partition"],
                         ),
                     )
-                part = batch_df.filter(F.col(self.stream_col) == stream).drop(
-                    self.stream_col
-                )
                 if ignored:
-                    flag = F.lit(False)
-                    for k in table.primary_key:
-                        flag = flag | F.col(k).isNull()
-                    part = part.filter(~flag)
+                    part = part.filter(~pk_flag)
                 result = table.merge(
                     part,
                     batch_id=batch_id,
@@ -695,6 +733,45 @@ class GlobalStateIngestJob(CdcIngestJob):
                 ignored=total_ignored,
             )
         )
+
+
+class JsonGlobalStateIngestJob(GlobalStateIngestJob):
+    """GLOBAL-state CDC over raw-JSON envelopes: ONE WAL position carries
+    MULTIPLE streams' records, each record's fields opaque in a
+    ``payload`` JSON string (the realistic Debezium-server/CDC-topic
+    shape: one replication slot, many tables, schemaless JSON values —
+    `airbyte-protocol.md:485-506` + `typing-deduping.md:5-70`).
+
+    Per micro-batch: the batch persists ONCE; each pending stream's slice
+    runs the shared JSON typing stage (exact key discovery → nested-aware
+    inference → in-place evolution → typed extraction) against ITS OWN
+    table — streams evolve independently, a new column in one stream
+    never touches another's schema — then merges under the same global
+    batch_id.  pk validation happens on the typed slice (the envelope has
+    no pk columns); exactly-once per stream via per-stream manifests,
+    exactly like the typed parent."""
+
+    def __init__(self, *args, payload_col: str = "payload", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.payload_col = payload_col
+
+    def _stream_schema(self):
+        from pyspark.sql import types as T
+
+        from airbyte_custom_spark.schema import JSON_CDC_EVENT_SCHEMA
+
+        return T.StructType(
+            list(JSON_CDC_EVENT_SCHEMA.fields)
+            + [T.StructField(self.stream_col, T.StringType(), True)]
+        )
+
+    def _typed_input(self) -> bool:
+        return False
+
+    def _transform_stream_batch(
+        self, part: DataFrame, table, batch_id: int, stream: str
+    ) -> DataFrame:
+        return infer_evolve_extract(part, table, self.payload_col)
 
 
 # streamed-event schema for GLOBAL-state sources: the CDC envelope plus the

@@ -172,3 +172,80 @@ spark.stop()
     assert probe["total_metric_events"] == n
     assert all(v > 0 for v in probe["rows_per_table"].values())
     assert probe["elapsed"] < 180, probe
+
+
+def test_json_global_state_streams_type_independently(spark, tmp_path):
+    """round-4 JsonGlobalStateIngestJob: one WAL of raw-JSON envelopes
+    carrying TWO streams with different payload shapes — each stream's
+    slice infers/evolves/extracts against its own table (a column in one
+    stream never appears in the other), final states match per-stream
+    replay, and a crash between per-stream merges stays exactly-once."""
+    import json as _json
+
+    from airbyte_custom_spark.streaming.pipeline import JsonGlobalStateIngestJob
+
+    rows = []
+    for i in range(400):
+        lsn = i + 1
+        if i % 2 == 0:
+            payload = {"conv_id": f"c{i % 40}", "turn_idx": i % 7,
+                       "role": "user", "text": f"t@{lsn}"}
+            stream = "chats"
+        else:
+            payload = {"conv_id": f"m{i % 40}", "turn_idx": i % 7,
+                       "score": i / 10.0, "tags": [f"g{i % 3}"]}
+            stream = "metrics"
+        rows.append((lsn, "c", _json.dumps(payload), stream))
+    env = spark.createDataFrame(
+        rows, "lsn long, op string, payload string, stream string"
+    ).select(
+        "lsn", "op", "payload",
+        F.lit(None).cast("timestamp").alias("_ab_cdc_updated_at"),
+        F.lit(None).cast("timestamp").alias("_ab_cdc_deleted_at"),
+        (F.col("lsn") % 4).cast("int").alias("source_partition"),
+        "stream",
+    )
+    src = str(tmp_path / "wal")
+    write_event_chunks(env, src, n_chunks=4)
+    chats_schema = TRANSCRIPT_SCHEMA
+    from pyspark.sql import types as T
+
+    metrics_schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+    ])
+    paths = {}
+    for name, schema in (("chats", chats_schema), ("metrics", metrics_schema)):
+        p = str(tmp_path / f"tbl_{name}")
+        LakeTable.create(spark, p, schema, num_buckets=2)
+        paths[name] = p
+
+    job = JsonGlobalStateIngestJob(
+        spark, paths, src, str(tmp_path / "ckpt"),
+        IngestConfig(max_files_per_trigger=1),
+    )
+    job.fail_after_batches = 2
+    with pytest.raises(Exception, match="injected failure"):
+        job.run_available_now()
+    job2 = JsonGlobalStateIngestJob(
+        spark, paths, src, str(tmp_path / "ckpt"),
+        IngestConfig(max_files_per_trigger=1),
+    )
+    job2.run_available_now()
+
+    chats = LakeTable.load(spark, paths["chats"])
+    metrics = LakeTable.load(spark, paths["metrics"])
+    # independent evolution: metrics gained score(double)+tags(array),
+    # chats did NOT
+    mcols = dict((f.name, f.dataType) for f in metrics.read().schema.fields)
+    assert isinstance(mcols["score"], T.DoubleType)
+    assert isinstance(mcols["tags"], T.ArrayType)
+    assert "score" not in chats.payload_columns
+    assert "text" not in metrics.payload_columns
+    # exactly-once per stream: latest-per-key row counts match replay
+    assert chats.read().count() == 140  # (j%20, j%7) over j=0..199 → lcm(20,7) keys
+    got = metrics.read().filter("conv_id = 'm1' and turn_idx = 1").first()
+    assert got is not None and got["tags"][0].startswith("g")
+    # values are the LATEST per key in lsn order
+    latest_text = chats.read().filter("conv_id = 'c0' and turn_idx = 0").first()["text"]
+    assert latest_text == "t@281"  # max even lsn with i%40==0 and i%7==0: i=280
