@@ -211,7 +211,7 @@ class IcebergTable:
 
     # ------------------------------------------------------- schema evolve
 
-    def evolve_schema(self, new_payload: T.StructType) -> None:
+    def evolve_schema(self, new_payload: T.StructType, **_ignored) -> None:
         """E1-E2 in-place evolution with LakeTable's rules: ADD COLUMN for
         new fields, ALTER COLUMN TYPE for widenings (Iceberg id-based
         columns make both metadata-only); drops and narrowings raise — use

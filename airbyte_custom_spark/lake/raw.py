@@ -28,7 +28,7 @@ affected buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F, types as T
 
 from airbyte_custom_spark.lake.table import LakeTable
 from airbyte_custom_spark.operators.dedupe import latest_per_key
@@ -91,7 +91,10 @@ def retype_from_raw(
         infer_payload_schema,
         payload_keys,
     )
-    from airbyte_custom_spark.operators.typed import extract_payload
+    from airbyte_custom_spark.operators.typed import (
+        extract_payload,
+        normalize_columns,
+    )
 
     rows = raw.read(include_deleted=True, include_meta=True)
     env_cols = [
@@ -102,16 +105,29 @@ def retype_from_raw(
     events = rows.select(
         F.col("_lsn").alias("lsn"), F.col(payload_col), *[F.col(c) for c in env_cols]
     )
+    key_map: dict[str, str] = {}
     if payload_schema is None:
         keys = payload_keys(events, payload_col)
-        payload_schema = infer_payload_schema(events, payload_col, keys=keys)
+        inferred = infer_payload_schema(events, payload_col, keys=keys)
+        # P7 normalization over the FULL history's key set at once —
+        # deterministic (sorted), independent of arrival order
+        norm = normalize_columns(sorted(keys))
+        key_map = {raw: col for raw, col in norm.items() if raw != col}
+        by_raw = {f.name: f.dataType for f in inferred.fields}
+        payload_schema = T.StructType(
+            [
+                T.StructField(norm[raw], by_raw[raw], True)
+                for raw in sorted(keys)
+            ]
+        )
     final = LakeTable.create(
         raw.spark,
         final_path,
         payload_schema,
         primary_key=primary_key,
         num_buckets=num_buckets,
+        payload_key_map=key_map,
     )
-    typed = extract_payload(events, payload_schema, payload_col)
+    typed = extract_payload(events, payload_schema, payload_col, key_map=key_map)
     final.merge(typed, batch_id=0, query_id="retype-from-raw")
     return final

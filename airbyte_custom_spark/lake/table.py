@@ -162,6 +162,7 @@ class LakeTable:
         bucket_keys: tuple[str, ...] | None = None,
         num_buckets: int = 16,
         files_per_bucket: int = 1,
+        payload_key_map: dict[str, str] | None = None,
     ) -> "LakeTable":
         """Create an empty table. Physical schema = payload + meta columns.
 
@@ -193,6 +194,7 @@ class LakeTable:
             "applied": {},
             "applied_lsn_high": None,
             "lineage": [],
+            "payload_key_map": dict(payload_key_map or {}),
         }
         t = LakeTable(spark, path, snapshot)
         t._write_snapshot(snapshot)
@@ -774,9 +776,25 @@ class LakeTable:
 
     # ------------------------------------------------------- schema evolve
 
-    def evolve_schema(self, new_payload: T.StructType) -> int:
+    @property
+    def payload_key_map(self) -> dict[str, str]:
+        """Raw source-field name → column name, for source fields whose
+        names are not valid/undisputed column names (P7 normalization with
+        collision suffixing, `CatalogParser.java:98-131`).  Identity
+        mappings are implicit — a raw key absent from the map feeds the
+        column of the same name.  Persisted in the snapshot so suffix
+        assignment is stable across batches and restarts."""
+        return dict(self.snapshot.get("payload_key_map", {}))
+
+    def evolve_schema(
+        self,
+        new_payload: T.StructType,
+        payload_key_map: dict[str, str] | None = None,
+    ) -> int:
         """Add columns / widen types (E1-E2).  Drops and narrowings raise
-        SchemaEvolutionError — handle those via soft_reset (T8)."""
+        SchemaEvolutionError — handle those via soft_reset (T8).
+        ``payload_key_map`` rides the same commit when the JSON ingest
+        discovered new normalized source fields."""
         current = self.schema()
         cur_fields = {f.name: f for f in current.fields}
         new_physical = with_meta_columns(new_payload)
@@ -798,6 +816,8 @@ class LakeTable:
         snap["schemas"][str(sid)] = json.loads(new_physical.json())
         snap["current_schema_id"] = sid
         snap["payload_columns"] = [f.name for f in new_payload.fields]
+        if payload_key_map is not None:
+            snap["payload_key_map"] = dict(payload_key_map)
         self._commit(snap)
         return snap["version"]
 

@@ -84,10 +84,16 @@ def evolved_payload(current: T.StructType, diff: SchemaDiff) -> T.StructType:
     return T.StructType(fields)
 
 
-def evolve_table_for(table, incoming_payload: T.StructType) -> SchemaDiff:
+def evolve_table_for(
+    table,
+    incoming_payload: T.StructType,
+    payload_key_map: dict[str, str] | None = None,
+) -> SchemaDiff:
     """Diff the table's payload schema against an incoming batch schema and
     evolve the table in place when compatible; raise when not (caller
-    decides whether to soft_reset).  Returns the diff for logging."""
+    decides whether to soft_reset).  Returns the diff for logging.
+    ``payload_key_map`` (raw source field → column, P7) rides the same
+    evolution commit."""
     current = T.StructType(
         [f for f in table.schema().fields if f.name in set(table.payload_columns)]
     )
@@ -101,7 +107,9 @@ def evolve_table_for(table, incoming_payload: T.StructType) -> SchemaDiff:
         )
     if diff.no_change or (not diff.added and not diff.widened):
         return diff
-    table.evolve_schema(evolved_payload(current, diff))
+    table.evolve_schema(
+        evolved_payload(current, diff), payload_key_map=payload_key_map
+    )
     return diff
 
 

@@ -86,20 +86,29 @@ def project_and_cast(
 
 
 def extract_payload(
-    events: DataFrame, target: T.StructType, payload_col: str = "payload"
+    events: DataFrame,
+    target: T.StructType,
+    payload_col: str = "payload",
+    key_map: dict[str, str] | None = None,
 ) -> DataFrame:
     """Raw-JSON envelope → typed rows: parse ``payload_col`` once to a
     string map (nested values arrive as raw JSON text), project every
     target field out of it, then apply ``project_and_cast`` (scalars via
     try_cast, complex fields via typed per-field from_json, per-row error
-    capture).  Shared by the streaming JSON ingest and the
-    retype-from-raw rebuild (`lake/raw.py::retype_from_raw`)."""
+    capture).  ``key_map`` maps raw source-field names → column names
+    (P7 normalization); a column absent from its values is fed by the
+    raw key of the same name.  Shared by the streaming JSON ingest and
+    the retype-from-raw rebuild (`lake/raw.py::retype_from_raw`)."""
+    raw_of = {col: raw for raw, col in (key_map or {}).items()}
     pmap = F.from_json(
         F.col(payload_col), T.MapType(T.StringType(), T.StringType())
     )
     raw = events.select(
         *[F.col(c) for c in events.columns if c != payload_col],
-        *[pmap.getItem(f.name).alias(f.name) for f in target.fields],
+        *[
+            pmap.getItem(raw_of.get(f.name, f.name)).alias(f.name)
+            for f in target.fields
+        ],
     )
     return project_and_cast(raw, target)
 

@@ -470,7 +470,7 @@ def infer_evolve_extract(
         evolve_table_for,
         infer_payload_schema,
     )
-    from airbyte_custom_spark.operators.typed import extract_payload
+    from airbyte_custom_spark.operators.typed import extract_payload, normalize_name
     from airbyte_custom_spark.schema import merge_nested
 
     # EXACT key discovery — one distributed map_keys aggregate over the
@@ -485,13 +485,58 @@ def infer_evolve_extract(
     cur_fields = {
         f.name: f for f in table.schema().fields if f.name in existing
     }
+    key_map = table.payload_key_map  # raw source field → column (P7)
+    raw_of = {col: raw for raw, col in key_map.items()}
     struct_cols = sorted(
         n for n, f in cur_fields.items() if isinstance(f.dataType, T.StructType)
     )
-    keys, nested_keys = discover_payload_keys(
-        events, payload_col, struct_cols
+    keys, nested_keys_raw = discover_payload_keys(
+        events, payload_col, [raw_of.get(c, c) for c in struct_cols]
     )
-    new_keys = [k for k in keys if k not in existing]
+    # P7 name normalization with STABLE collision suffixing
+    # (`CatalogParser.java:98-131`): a raw key that exactly matches a
+    # column feeds it (identity, implicit); any other new raw key
+    # normalizes, suffixing past names already taken by columns or prior
+    # mappings.  The mapping persists in the table snapshot, so suffix
+    # assignment never depends on batch arrival order after the first.
+    new_map_entries: dict[str, str] = {}
+    claimed = set(key_map.values())  # columns owned by a mapped raw key
+    taken = existing | claimed
+    pending = sorted(k for k in keys if k not in key_map)
+    rest: list[str] = []
+    # pass 1 — identity claims: a raw key exactly matching an UNCLAIMED
+    # column feeds it; a normalization-stable raw whose name is free
+    # becomes its own column.  (A raw matching a column another raw
+    # already claimed — e.g. raw "a_b" after "a.b"→a_b — must NOT steal
+    # it: stability of the persisted mapping wins, it suffixes below.)
+    for raw in pending:
+        if raw in existing and raw not in claimed:
+            continue
+        if normalize_name(raw) == raw and raw not in taken:
+            taken.add(raw)
+            continue
+        rest.append(raw)
+    # pass 2 — normalize + deterministic suffixing past taken names
+    for raw in rest:
+        base = normalize_name(raw)
+        cand, i = base, 0
+        while cand in taken:
+            i += 1
+            cand = f"{base}_{i}"
+        taken.add(cand)
+        new_map_entries[raw] = cand
+    full_map = {**key_map, **new_map_entries}
+
+    def col_of(raw: str) -> str:
+        return full_map.get(raw, raw)
+
+    mapped_cols = [col_of(k) for k in keys]
+    new_keys = [c for c in mapped_cols if c not in existing]
+    # nested subkeys come back keyed by RAW struct key — re-key by column
+    raw_to_struct_col = {raw_of.get(c, c): c for c in struct_cols}
+    nested_keys = {
+        raw_to_struct_col[rk]: ks for rk, ks in nested_keys_raw.items()
+    }
     nested_new = {
         c: [
             k
@@ -517,7 +562,8 @@ def infer_evolve_extract(
     )
     if new_keys or nested_new or nested_arrays:
         inferred = infer_payload_schema(events, payload_col, keys=keys)
-        inf = {f.name: f.dataType for f in inferred.fields}
+        # inference is keyed by RAW field name — re-key by column
+        inf = {col_of(f.name): f.dataType for f in inferred.fields}
         merged_fields: list[T.StructField] = []
         changed = False
         for name, f in cur_fields.items():
@@ -537,10 +583,16 @@ def infer_evolve_extract(
             if m != f.dataType:
                 changed = True
             merged_fields.append(T.StructField(name, m, True))
-        new_fields = [f for f in inferred.fields if f.name not in existing]
+        new_fields = [
+            T.StructField(col_of(f.name), f.dataType, True)
+            for f in inferred.fields
+            if col_of(f.name) not in existing
+        ]
         if changed or new_fields:
             evolve_table_for(
-                table, T.StructType(merged_fields + new_fields)
+                table,
+                T.StructType(merged_fields + new_fields),
+                payload_key_map=full_map if new_map_entries else None,
             )
     target = T.StructType(
         [f for f in table.schema().fields if f.name in set(table.payload_columns)]
@@ -552,7 +604,7 @@ def infer_evolve_extract(
     # on any field mismatch).  Scalars go through try_cast; complex
     # fields through a typed per-field from_json (project_and_cast
     # picks per field).
-    return extract_payload(events, target, payload_col)
+    return extract_payload(events, target, payload_col, key_map=full_map)
 
 
 class GlobalStateIngestJob(CdcIngestJob):

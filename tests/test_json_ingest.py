@@ -400,3 +400,73 @@ def test_json_ingest_raw_retention_crash_replay_and_retype(spark, tmp_path, monk
     live = LakeTable.load(spark, t.path).read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     again = rebuilt.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     assert live.exceptAll(again).count() == 0 and again.exceptAll(live).count() == 0
+
+
+def test_json_ingest_normalizes_unsafe_payload_keys_stably(spark, tmp_path):
+    """round-4 P7-on-ingest: payload keys that are not valid/undisputed
+    column names — dots, spaces, case collisions — normalize with stable
+    collision suffixing (`CatalogParser.java:98-131`).  The raw→column
+    mapping persists in the table snapshot, so a later batch presenting
+    the keys in a DIFFERENT order maps identically, and values keep
+    landing in their columns."""
+    import json as _json
+
+    def payload(i, extra):
+        p = {"conv_id": f"c{i}", "turn_idx": 0, "role": "user", "text": f"t{i}"}
+        p.update(extra)
+        return _json.dumps(p)
+
+    # batch 1 introduces "a.b" only; batch 2 adds "a_b" (collides with
+    # a.b's normalized name), "User Name", and re-sends "a.b"
+    b1 = [(1, "c", payload(1, {"a.b": "dot-1"}))]
+    b2 = [
+        (2, "c", payload(2, {"a.b": "dot-2", "a_b": "plain-2", "User Name": "u2"})),
+    ]
+    src1, src2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    _envelope(spark, b1).coalesce(1).write.parquet(src1)
+    _envelope(spark, b2).coalesce(1).write.parquet(src2)
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    for i, src in enumerate((src1, src2)):
+        JsonCdcIngestJob(
+            spark, t.path, src, str(tmp_path / f"ck{i}"), IngestConfig()
+        ).run_available_now()
+    final = LakeTable.load(spark, t.path)
+    # "a.b" claimed a_b in batch 1; raw "a_b" arrives later, finds a_b
+    # taken, gets a_b_1; "User Name" → user_name
+    assert final.payload_key_map["a.b"] == "a_b"
+    assert final.payload_key_map["a_b"] == "a_b_1"
+    assert final.payload_key_map["User Name"] == "user_name"
+    got = {r["conv_id"]: r for r in final.read().collect()}
+    assert got["c1"]["a_b"] == "dot-1" and got["c1"]["a_b_1"] is None
+    assert got["c2"]["a_b"] == "dot-2" and got["c2"]["a_b_1"] == "plain-2"
+    assert got["c2"]["user_name"] == "u2"
+
+
+def test_retype_from_raw_normalizes_keys(spark, tmp_path):
+    """retype_from_raw re-derives the schema over full history with the
+    same P7 normalization (deterministic: sorted key set)."""
+    import json as _json
+
+    from airbyte_custom_spark.lake.raw import retype_from_raw
+
+    rows = [
+        (1, "c", _json.dumps({"conv_id": "a", "turn_idx": 0, "role": "user",
+                              "text": "x", "a.b": "v1", "a_b": "v2"})),
+    ]
+    src = str(tmp_path / "wal")
+    _envelope(spark, rows).coalesce(1).write.parquet(src)
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    raw_path = str(tmp_path / "raw")
+    JsonCdcIngestJob(
+        spark, t.path, src, str(tmp_path / "ck"), IngestConfig(),
+        raw_table_path=raw_path,
+    ).run_available_now()
+    rebuilt = retype_from_raw(
+        LakeTable.load(spark, raw_path), str(tmp_path / "rb"), num_buckets=2
+    )
+    # sorted keys: "a.b" < "a_b" lexically?  '.' (46) < '_' (95) → "a.b"
+    # normalizes first and claims a_b; "a_b" exact-keeps... "a_b" is free
+    # only if unclaimed — here "a.b" took it, so raw a_b → a_b_1
+    assert rebuilt.payload_key_map["a.b"] == "a_b"
+    row = rebuilt.read().first()
+    assert row["a_b"] == "v1" and row["a_b_1"] == "v2"
