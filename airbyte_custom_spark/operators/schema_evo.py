@@ -215,6 +215,11 @@ def _infer_value_type(values: list) -> T.DataType:
             for k in v:
                 if k not in keys:
                     keys.append(k)
+        if not keys:
+            # free-form object with no observed properties → JSON string
+            # (schema.py policy; an EMPTY StructType is unwritable in
+            # parquet and would crash-loop the batch)
+            return T.StringType()
         return T.StructType(
             [
                 T.StructField(
