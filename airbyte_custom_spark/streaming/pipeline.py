@@ -74,6 +74,13 @@ class CdcIngestJob:
         self.fail_after_batches: int | None = None
         self._batches_run = 0
         self._stream_id: str | None = None
+        # subclasses with an EXPENSIVE per-batch transform (JSON parse)
+        # set this: the transformed frame persists DISK_ONLY for the
+        # batch so the stats pass and the merge share ONE transform
+        # execution instead of re-parsing per job (deserialized memory
+        # caching measured slower than recompute on this VM; serialized
+        # disk blocks read back sub-second)
+        self._persist_transformed = False
 
     # ------------------------------------------------------------ source
 
@@ -180,6 +187,12 @@ class CdcIngestJob:
         if self.target_lsn is not None:
             events = events.filter(F.col("lsn") <= F.lit(self.target_lsn))
         events = self._transform_batch(events, table, batch_id)
+        persisted = None
+        if self._persist_transformed:
+            from pyspark import StorageLevel
+
+            persisted = events.persist(StorageLevel.DISK_ONLY)
+            events = persisted
 
         # ONE metadata aggregation replaces three separate jobs (validate /
         # lineage / touched-buckets): group by (source_partition, bucket) —
@@ -205,6 +218,8 @@ class CdcIngestJob:
         if self.config.validate_pk:
             n_bad = sum(r["null_pk"] for r in stats)
             if n_bad > 0 and self.config.pk_violations == "fail":
+                if persisted is not None:
+                    persisted.unpersist()
                 raise NullPrimaryKeyError(
                     f"batch {batch_id} contains rows with NULL primary key "
                     f"column(s) {table.primary_key}"
@@ -247,14 +262,18 @@ class CdcIngestJob:
         # no pre-reduce otherwise: merge's union+groupBy(max_by) IS the
         # latest-per-key reduction, with map-side partial aggregation — a
         # separate reduce would just add a full extra shuffle of the batch
-        result = table.merge(
-            src,
-            batch_id=batch_id,
-            query_id=qid,
-            lineage=lineage,
-            validate_pk=False,  # validated via the stats aggregation above
-            touched_buckets=touched,
-        )
+        try:
+            result = table.merge(
+                src,
+                batch_id=batch_id,
+                query_id=qid,
+                lineage=lineage,
+                validate_pk=False,  # validated via the stats aggregation above
+                touched_buckets=touched,
+            )
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
         elapsed = time.monotonic() - start
         n = sum(r["events"] for r in stats) - ignored
         self.metrics.record(
@@ -414,6 +433,13 @@ class JsonCdcIngestJob(CdcIngestJob):
         # different types at any time (`lake/raw.py::retype_from_raw`)
         self.raw_table_path = raw_table_path
         self.raw_num_buckets = raw_num_buckets
+        # A/B-measured OFF (4M events, local[8], 4 alternating reps:
+        # 12.99s uncached vs 13.24s cached): caching the typed frame
+        # saves the merge's re-parse but the DISK_ONLY write of
+        # full-width rows costs the same on this VM's single disk.  On a
+        # cluster with per-node NVMe or much heavier payloads the knob
+        # may win — flip per job after measuring.
+        self._persist_transformed = False
 
     def _stream_schema(self):
         from airbyte_custom_spark.schema import JSON_CDC_EVENT_SCHEMA
