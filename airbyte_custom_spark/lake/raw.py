@@ -110,9 +110,23 @@ def retype_from_raw(
         keys = payload_keys(events, payload_col)
         inferred = infer_payload_schema(events, payload_col, keys=keys)
         # P7 normalization over the FULL history's key set at once —
-        # deterministic (sorted), independent of arrival order
+        # deterministic (sorted), independent of arrival order; engine
+        # meta column names are reserved (suffix past them, same rule as
+        # the streaming path)
+        from airbyte_custom_spark.schema import META_COLUMNS
+
         norm = normalize_columns(sorted(keys))
-        key_map = {raw: col for raw, col in norm.items() if raw != col}
+        used = set(norm.values()) | set(META_COLUMNS)
+        for rk in sorted(norm):
+            if norm[rk] in META_COLUMNS:
+                base, i = norm[rk], 0
+                cand = base
+                while cand in used:
+                    i += 1
+                    cand = f"{base}_{i}"
+                norm[rk] = cand
+                used.add(cand)
+        key_map = {rk: col for rk, col in norm.items() if rk != col}
         by_raw = {f.name: f.dataType for f in inferred.fields}
         payload_schema = T.StructType(
             [

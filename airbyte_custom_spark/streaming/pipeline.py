@@ -525,9 +525,14 @@ def infer_evolve_extract(
     # normalizes, suffixing past names already taken by columns or prior
     # mappings.  The mapping persists in the table snapshot, so suffix
     # assignment never depends on batch arrival order after the first.
+    from airbyte_custom_spark.schema import META_COLUMNS
+
     new_map_entries: dict[str, str] = {}
     claimed = set(key_map.values())  # columns owned by a mapped raw key
-    taken = existing | claimed
+    # engine meta column names are reserved: a payload key literally named
+    # "_lsn"/"_meta"/… must NOT shadow the physical meta column (duplicate
+    # columns in the table schema) — it suffixes like any other collision
+    taken = existing | claimed | set(META_COLUMNS)
     pending = sorted(k for k in keys if k not in key_map)
     rest: list[str] = []
     # pass 1 — identity claims: a raw key exactly matching an UNCLAIMED

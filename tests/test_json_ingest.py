@@ -470,3 +470,31 @@ def test_retype_from_raw_normalizes_keys(spark, tmp_path):
     assert rebuilt.payload_key_map["a.b"] == "a_b"
     row = rebuilt.read().first()
     assert row["a_b"] == "v1" and row["a_b_1"] == "v2"
+
+
+def test_json_ingest_meta_column_name_collision_is_suffixed(spark, tmp_path):
+    """A payload key literally named like an engine meta column (_lsn,
+    _meta, …) must not shadow the physical column — it suffixes like any
+    collision, the real _lsn stays the merge cursor."""
+    import json as _json
+
+    rows = [
+        (7, "c", _json.dumps({"conv_id": "a", "turn_idx": 0, "role": "user",
+                              "text": "x", "_lsn": "payload-lsn", "_meta": "m"})),
+    ]
+    src = str(tmp_path / "wal")
+    _envelope(spark, rows).coalesce(1).write.parquet(src)
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    JsonCdcIngestJob(
+        spark, t.path, src, str(tmp_path / "ck"), IngestConfig()
+    ).run_available_now()
+    final = LakeTable.load(spark, t.path)
+    assert final.payload_key_map["_lsn"] == "_lsn_1"
+    assert final.payload_key_map["_meta"] == "_meta_1"
+    row = final.read(include_meta=True).first()
+    assert row["_lsn"] == 7                      # the engine cursor, intact
+    assert row["_lsn_1"] == "payload-lsn"        # the payload's field
+    assert row["_meta_1"] == "m"
+    # physical schema has no duplicate names
+    names = [f.name for f in final.read(include_meta=True).schema.fields]
+    assert len(names) == len(set(names))
