@@ -116,9 +116,10 @@ def retype_from_raw(
         from airbyte_custom_spark.schema import META_COLUMNS
 
         norm = normalize_columns(sorted(keys))
-        used = set(norm.values()) | set(META_COLUMNS)
+        reserved = set(META_COLUMNS) | set(events.columns)
+        used = set(norm.values()) | reserved
         for rk in sorted(norm):
-            if norm[rk] in META_COLUMNS:
+            if norm[rk] in reserved:
                 base, i = norm[rk], 0
                 cand = base
                 while cand in used:

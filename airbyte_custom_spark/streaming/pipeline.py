@@ -529,10 +529,12 @@ def infer_evolve_extract(
 
     new_map_entries: dict[str, str] = {}
     claimed = set(key_map.values())  # columns owned by a mapped raw key
-    # engine meta column names are reserved: a payload key literally named
-    # "_lsn"/"_meta"/… must NOT shadow the physical meta column (duplicate
-    # columns in the table schema) — it suffixes like any other collision
-    taken = existing | claimed | set(META_COLUMNS)
+    # reserved names: engine meta columns (a payload key literally named
+    # "_lsn"/"_meta"/… must not shadow the physical meta column) AND the
+    # CDC envelope columns of this batch ("lsn"/"op"/"source_partition"/…
+    # would duplicate a column name inside the extraction select —
+    # AnalysisException crash-loop).  Both suffix like any collision.
+    taken = existing | claimed | set(META_COLUMNS) | set(events.columns)
     pending = sorted(k for k in keys if k not in key_map)
     rest: list[str] = []
     # pass 1 — identity claims: a raw key exactly matching an UNCLAIMED

@@ -498,3 +498,28 @@ def test_json_ingest_meta_column_name_collision_is_suffixed(spark, tmp_path):
     # physical schema has no duplicate names
     names = [f.name for f in final.read(include_meta=True).schema.fields]
     assert len(names) == len(set(names))
+
+
+def test_json_ingest_envelope_column_name_collision_is_suffixed(spark, tmp_path):
+    """Payload keys named like CDC envelope columns (lsn/op/
+    source_partition) must not duplicate a column inside the extraction
+    select — they suffix; the envelope's own values stay authoritative."""
+    import json as _json
+
+    rows = [
+        (3, "c", _json.dumps({"conv_id": "a", "turn_idx": 0, "role": "user",
+                              "text": "x", "lsn": 999999, "op": "weird"})),
+    ]
+    src = str(tmp_path / "wal")
+    _envelope(spark, rows).coalesce(1).write.parquet(src)
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    JsonCdcIngestJob(
+        spark, t.path, src, str(tmp_path / "ck"), IngestConfig()
+    ).run_available_now()
+    final = LakeTable.load(spark, t.path)
+    assert final.payload_key_map["lsn"] == "lsn_1"
+    assert final.payload_key_map["op"] == "op_1"
+    row = final.read(include_meta=True).first()
+    assert row["_lsn"] == 3            # the ENVELOPE lsn drove the merge
+    assert row["lsn_1"] == 999999      # the payload's field, preserved
+    assert row["op_1"] == "weird"
