@@ -120,7 +120,7 @@ import json as _json
 
 from airbyte_custom_spark.streaming.pipeline import infer_evolve_extract
 
-_EXTRA_KEYS = ["k", "K", "k.x", "k x", "select", "日", ""]
+_EXTRA_KEYS = ["k", "K", "k.x", "k x", "select", "日", "", "lsn", "_lsn", "op"]
 _VALUES = st.one_of(
     st.none(),
     st.booleans(),
