@@ -192,6 +192,39 @@ def child_headline_run(n_events: int, seg_dir: str) -> None:
         "noop"
     ).save()
     queries["latest_by_reduce"] = round(time.monotonic() - t0, 3)
+
+    # JSON-envelope ingest micro (the P3/raw-`_airbyte_data` path): 1/5th
+    # of the headline events through exact key discovery → inference →
+    # typed extraction → merge.  Tracks the JSON path's throughput
+    # round-over-round (SCALE.md §6a: JSON decode costs ~3 payload passes;
+    # measured ×2.8 vs the typed path at 4M events / local[8]).
+    from airbyte_custom_spark.config import IngestConfig
+    from airbyte_custom_spark.lake.table import LakeTable
+    from airbyte_custom_spark.schema import TRANSCRIPT_SCHEMA
+    from airbyte_custom_spark.sources.generator import json_envelope, write_event_chunks
+    from airbyte_custom_spark.streaming.pipeline import JsonCdcIngestJob
+
+    jn = max(n_events // 5, 100_000)
+    jdir = tempfile.mkdtemp(prefix="bench-jwal-", dir=SHM)
+    shutil.rmtree(jdir, ignore_errors=True)
+    write_event_chunks(
+        json_envelope(events.filter(f"lsn <= {jn}")), jdir, n_chunks=max(CPUS // 4, 4)
+    )
+    jtbl = tempfile.mkdtemp(prefix="bench-jtbl-", dir=SHM)
+    jckpt = tempfile.mkdtemp(prefix="bench-jckpt-", dir=SHM)
+    shutil.rmtree(jtbl, ignore_errors=True)
+    LakeTable.create(spark, jtbl, TRANSCRIPT_SCHEMA, num_buckets=32)
+    t0 = time.monotonic()
+    JsonCdcIngestJob(
+        spark, jtbl, jdir, jckpt, IngestConfig(validate_pk=False)
+    ).run_available_now(timeout_sec=3600)
+    jsec = time.monotonic() - t0
+    queries["json_e2e_apply"] = round(jsec, 3)
+    queries["json_events"] = jn
+    log(f"  json_e2e_apply: {jsec:.1f}s → {jn / jsec:,.0f} ev/s ({jn:,} events)")
+    for d in (jdir, jtbl, jckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
     spark.stop()
     print(json.dumps({"queries": queries, "events_per_sec": head["events_per_sec"]}))
 
