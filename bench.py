@@ -463,8 +463,18 @@ def main() -> None:
             "best calm gate-passing rep" if calm_passing else "best rep"
         ) + " (per-rep same-window pairing)"
         eff = sel["efficiency"]
+        # ceiling pick ignores glitched probes: a membw ratio > 1.2 is
+        # physically implausible (4N procs cannot exceed N's per-proc
+        # bandwidth by that much) — the noisy probe occasionally returns
+        # garbage (observed 0.006 and 3.89); raw values stay published
+        # per rep either way
+        plausible = [
+            x["probe_before"]
+            for x in reps
+            if 0.0 < x["probe_before"]["membw"] <= 1.2
+        ]
         hw = max(
-            (x["probe_before"] for x in reps),
+            plausible or [x["probe_before"] for x in reps],
             key=lambda h: h["membw"],
         )
         result["scaling"] = {
