@@ -146,6 +146,47 @@ def payload_keys(df: DataFrame, json_col: str) -> list[str]:
     return sorted(r["k"] for r in rows)
 
 
+TAG_SEP = "\x1f"
+
+
+def tagged_key_expr(json_col: str, struct_cols: list[str] | None = None) -> F.Column:
+    """Per-row array of discovery tags — the NON-collecting form of
+    ``discover_payload_keys``, designed to ride an existing aggregation:
+    top-level payload keys as ``"\\x1f<key>"``, second-level keys of the
+    named struct columns as ``"<col>\\x1f<key>"``.  Attach as a column,
+    fold with ``array_distinct(flatten(collect_set(...)))`` inside the
+    stats agg, and the batch's exact key set costs ZERO extra jobs
+    (partial aggregation folds per-group key-set combos map-side)."""
+    _map = T.MapType(T.StringType(), T.StringType())
+    empty = F.array().cast("array<string>")
+    pmap = F.from_json(F.col(json_col), _map)
+
+    def _tagger(prefix: str):
+        return lambda k: F.concat(F.lit(prefix + TAG_SEP), k)
+
+    parts = [
+        F.coalesce(F.transform(F.map_keys(pmap), _tagger("")), empty)
+    ]
+    for c in struct_cols or []:
+        sub = F.map_keys(F.from_json(pmap.getItem(c), _map))
+        parts.append(F.coalesce(F.transform(sub, _tagger(c)), empty))
+    return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+
+def decode_discovery_tags(tags: list[str]) -> tuple[list[str], dict[str, list[str]]]:
+    """Inverse of ``tagged_key_expr``: tag list → (top-level keys,
+    {struct col → subkeys})."""
+    top: list[str] = []
+    nested: dict[str, list[str]] = {}
+    for t in tags:
+        c, k = t.split(TAG_SEP, 1)
+        if c == "":
+            top.append(k)
+        else:
+            nested.setdefault(c, []).append(k)
+    return sorted(set(top)), {c: sorted(set(ks)) for c, ks in nested.items()}
+
+
 def discover_payload_keys(
     df: DataFrame, json_col: str, struct_cols: list[str] | None = None
 ) -> tuple[list[str], dict[str, list[str]]]:

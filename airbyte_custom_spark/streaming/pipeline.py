@@ -165,8 +165,18 @@ class CdcIngestJob:
         The base job ingests already-typed events; `JsonCdcIngestJob`
         overrides this with the schema-inference + evolution + typed-cast
         stage (and, when configured, the raw-envelope append keyed by
-        ``batch_id``)."""
+        ``batch_id``).  A transform that attaches a hidden ``_acs_keys``
+        column gets it folded into the stats aggregation and fed back
+        through ``_post_discovery``."""
         return events
+
+    def _post_discovery(
+        self, raw_events: DataFrame, table: LakeTable, tags: list[str]
+    ) -> DataFrame | None:
+        """Fused-discovery callback: receives the exact tag set the stats
+        agg collected; may evolve the table and return a REBUILT transform
+        of ``raw_events`` (None = keep the already-built one)."""
+        return None
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         start = time.monotonic()
@@ -186,7 +196,9 @@ class CdcIngestJob:
         events = self._resolve_batch(batch_df, batch_id)
         if self.target_lsn is not None:
             events = events.filter(F.col("lsn") <= F.lit(self.target_lsn))
+        raw_events = events  # pre-transform, for fused-discovery rebuilds
         events = self._transform_batch(events, table, batch_id)
+        discover = "_acs_keys" in events.columns
         persisted = None
         if self._persist_transformed:
             from pyspark import StorageLevel
@@ -201,19 +213,35 @@ class CdcIngestJob:
         pk_null = F.lit(False)
         for k in table.primary_key:
             pk_null = pk_null | F.col(k).isNull()
+        aggs = [
+            F.count(F.lit(1)).alias("events"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+            F.sum(pk_null.cast("int")).alias("null_pk"),
+        ]
+        if discover:
+            # fused exact key discovery (attach_discovery): fold the tag
+            # arrays into THIS aggregation — per-group key-combo sets
+            # collapse map-side; no separate discovery job ever runs
+            aggs.append(
+                F.array_distinct(F.flatten(F.collect_set("_acs_keys"))).alias(
+                    "_keys"
+                )
+            )
         stats = (
             events.groupBy(
                 F.col("source_partition").alias("sp"),
                 table.bucket_expr(events).alias("b"),
             )
-            .agg(
-                F.count(F.lit(1)).alias("events"),
-                F.min("lsn").alias("min_lsn"),
-                F.max("lsn").alias("max_lsn"),
-                F.sum(pk_null.cast("int")).alias("null_pk"),
-            )
+            .agg(*aggs)
             .collect()
         )
+        if discover:
+            tags = sorted({t for r in stats for t in (r["_keys"] or [])})
+            events = events.drop("_acs_keys")
+            rebuilt = self._post_discovery(raw_events, table, tags)
+            if rebuilt is not None:
+                events = rebuilt
         ignored = 0
         if self.config.validate_pk:
             n_bad = sum(r["null_pk"] for r in stats)
@@ -478,47 +506,142 @@ class JsonCdcIngestJob(CdcIngestJob):
                 batch_id=batch_id,
                 query_id=f"{self._manifest_query_id()}/raw",
             )
-        return infer_evolve_extract(events, table, self.payload_col)
+        # fused discovery (round-4 perf): extract under the CURRENT schema
+        # with the tag column riding along; the stats agg collects the
+        # exact key set and _post_discovery below evolves/rebuilds only
+        # when the batch actually carried something new — two payload
+        # parses per batch (stats, merge) instead of three
+        return attach_discovery(events, table, self.payload_col)
+
+    def _post_discovery(
+        self, raw_events: DataFrame, table: LakeTable, tags: list[str]
+    ) -> DataFrame | None:
+        return evolve_from_tags(raw_events, table, tags, self.payload_col)
 
 
 def infer_evolve_extract(
     events: DataFrame, table: LakeTable, payload_col: str = "payload"
 ) -> DataFrame:
-    """The JSON typing stage shared by `JsonCdcIngestJob` and
-    `JsonGlobalStateIngestJob`: exact key discovery → nested-aware
-    inference → in-place evolution → typed extraction with per-row
-    error capture.  One batch in, one typed frame out; the table may be
-    evolved as a side effect."""
+    """The JSON typing stage as ONE call (used by
+    `JsonGlobalStateIngestJob` per stream slice and `retype_from_raw`):
+    exact key discovery → nested-aware inference → in-place evolution →
+    typed extraction with per-row error capture.  `JsonCdcIngestJob`
+    instead FUSES the discovery into the batch's stats aggregation
+    (`attach_discovery` + `evolve_from_tags`) — one fewer payload parse
+    per batch."""
+    from airbyte_custom_spark.operators.schema_evo import discover_payload_keys
+    from airbyte_custom_spark.operators.typed import extract_payload
+
+    key_map = table.payload_key_map
+    raw_of = {col: raw for raw, col in key_map.items()}
+    keys, nested_keys_raw = discover_payload_keys(
+        events, payload_col, [raw_of.get(c, c) for c in _struct_cols(table)]
+    )
+    full_map = _resolve_and_evolve(
+        table, keys, nested_keys_raw, events, payload_col
+    )
+    target = _payload_target(table)
+    return extract_payload(events, target, payload_col, key_map=full_map)
+
+
+def _struct_cols(table: LakeTable) -> list[str]:
+    from pyspark.sql import types as T
+
+    return sorted(
+        f.name
+        for f in table.schema().fields
+        if f.name in set(table.payload_columns)
+        and isinstance(f.dataType, T.StructType)
+    )
+
+
+def _payload_target(table: LakeTable):
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [f for f in table.schema().fields if f.name in set(table.payload_columns)]
+    )
+
+
+def attach_discovery(
+    events: DataFrame, table: LakeTable, payload_col: str = "payload"
+) -> DataFrame:
+    """Typed extraction under the table's CURRENT schema plus a hidden
+    ``_acs_keys`` tag column — the batch's exact key set then folds into
+    the stats aggregation for free (`tagged_key_expr`), and
+    `evolve_from_tags` rebuilds the extraction only when something new
+    actually appeared.  Two payload parses per batch total (stats+keys,
+    merge) instead of three."""
+    from airbyte_custom_spark.operators.schema_evo import tagged_key_expr
+    from airbyte_custom_spark.operators.typed import extract_payload
+
+    key_map = table.payload_key_map
+    raw_of = {col: raw for raw, col in key_map.items()}
+    with_tags = events.withColumn(
+        "_acs_keys",
+        tagged_key_expr(
+            payload_col, [raw_of.get(c, c) for c in _struct_cols(table)]
+        ),
+    )
+    # extract_payload passes non-target columns through — _acs_keys rides
+    return extract_payload(with_tags, _payload_target(table), payload_col,
+                           key_map=key_map)
+
+
+def evolve_from_tags(
+    raw_events: DataFrame,
+    table: LakeTable,
+    tags: list[str],
+    payload_col: str = "payload",
+) -> DataFrame | None:
+    """Post-stats half of the fused discovery: decode the tag set the
+    stats agg collected, run normalization + evolution, and return a
+    REBUILT extraction of ``raw_events`` when the schema (or key map)
+    changed — None when the batch carried nothing new (the already-built
+    extraction is correct)."""
+    from airbyte_custom_spark.operators.schema_evo import decode_discovery_tags
+    from airbyte_custom_spark.operators.typed import extract_payload
+
+    keys, nested_keys_raw = decode_discovery_tags(tags)
+    v0 = table.version
+    full_map = _resolve_and_evolve(
+        table, keys, nested_keys_raw, raw_events, payload_col
+    )
+    if table.version == v0:
+        return None
+    return extract_payload(
+        raw_events, _payload_target(table), payload_col, key_map=full_map
+    )
+
+
+def _resolve_and_evolve(
+    table: LakeTable,
+    keys: list[str],
+    nested_keys_raw: dict[str, list[str]],
+    events: DataFrame,
+    payload_col: str,
+) -> dict[str, str]:
+    """Normalization + nested-aware inference + in-place evolution, given
+    an already-discovered EXACT key set.  Returns the full raw→column
+    map.  The driver sample runs ONLY when something new appeared
+    (round-3 fix lineage: the key SET is exact — a column or nested
+    subkey first appearing past any sample can never lose values)."""
     from pyspark.sql import types as T
 
     from airbyte_custom_spark.operators.schema_evo import (
-        discover_payload_keys,
         evolve_table_for,
         infer_payload_schema,
     )
     from airbyte_custom_spark.operators.typed import extract_payload, normalize_name
     from airbyte_custom_spark.schema import merge_nested
 
-    # EXACT key discovery — one distributed map_keys aggregate over the
-    # whole batch covering the top level AND known struct columns'
-    # subkeys, not a driver sample (round-3 fix: a column whose first
-    # occurrence was past the sample silently lost its values for that
-    # batch; round 4 extends the same guarantee one level down).  The
-    # driver sample below is used ONLY to pick types for genuinely new
-    # keys; when nothing new appears (the steady state), the sample
-    # job is skipped entirely.
     existing = set(table.payload_columns)
     cur_fields = {
         f.name: f for f in table.schema().fields if f.name in existing
     }
     key_map = table.payload_key_map  # raw source field → column (P7)
     raw_of = {col: raw for raw, col in key_map.items()}
-    struct_cols = sorted(
-        n for n, f in cur_fields.items() if isinstance(f.dataType, T.StructType)
-    )
-    keys, nested_keys_raw = discover_payload_keys(
-        events, payload_col, [raw_of.get(c, c) for c in struct_cols]
-    )
+    struct_cols = _struct_cols(table)
     # P7 name normalization with STABLE collision suffixing
     # (`CatalogParser.java:98-131`): a raw key that exactly matches a
     # column feeds it (identity, implicit); any other new raw key
@@ -627,17 +750,7 @@ def infer_evolve_extract(
                 T.StructType(merged_fields + new_fields),
                 payload_key_map=full_map if new_map_entries else None,
             )
-    target = T.StructType(
-        [f for f in table.schema().fields if f.name in set(table.payload_columns)]
-    )
-    # parse once to string-valued fields (nested values arrive as raw
-    # JSON text); types are applied by the projection so per-field
-    # failures are captured per row instead of nulling the whole
-    # record (from_json with a full typed schema nulls the entire row
-    # on any field mismatch).  Scalars go through try_cast; complex
-    # fields through a typed per-field from_json (project_and_cast
-    # picks per field).
-    return extract_payload(events, target, payload_col, key_map=full_map)
+    return full_map
 
 
 class GlobalStateIngestJob(CdcIngestJob):
