@@ -67,3 +67,10 @@ class IngestConfig:
     pk_violations: str = "fail"
     # capture per-partition lineage rows into the commit snapshot
     record_lineage: bool = True
+    # GLOBAL-state jobs only: overlap this many per-stream typed-slice +
+    # merge pipelines via driver threads (each stream targets its OWN
+    # table, so the merges are independent Spark jobs; overlapping them
+    # fills executor slots that one small stream's stages would leave
+    # idle).  1 = sequential (reference behavior: one buffered consumer
+    # drains streams in turn, `BufferedStreamConsumer.java:200-291`).
+    stream_parallelism: int = 1

@@ -650,6 +650,7 @@ class LakeTable:
         lineage: list[dict[str, Any]] | None = None,
         validate_pk: bool = True,
         touched_buckets: list[int] | None = None,
+        pin_exchange: bool = True,
     ) -> MergeResult:
         """Apply a batch of CDC events (payload + lsn + op [+ _ab_cdc_*]).
 
@@ -666,7 +667,16 @@ class LakeTable:
         latest-per-key reduction, with map-side partial aggregation (hot
         keys collapse before the exchange), and when bucket_keys == the
         primary key its exchange is hash-aligned with the file layout (see
-        module docstring) so the whole merge shuffles exactly once."""
+        module docstring) so the whole merge shuffles exactly once.
+
+        ``pin_exchange=False`` opts out of the aligned single-exchange
+        plan: the reduce runs at the session's shuffle-partition count
+        (map-side WindowGroupLimit partial intact) and the write adds an
+        explicit layout repartition of the already-reduced rows — two
+        exchanges, but ZERO session-conf mutation, so concurrent merges
+        into different tables from driver threads cannot clobber each
+        other's pinned partition count (GlobalStateIngestJob's
+        stream_parallelism path uses this)."""
         if batch_id is not None and batch_id <= self.last_committed_batch(query_id):
             return MergeResult(version=None, skipped=True)
         if validate_pk:
@@ -714,13 +724,15 @@ class LakeTable:
         # exactly the groupBy keys, pin the aggregation exchange to
         # num_buckets × files_per_bucket partitions — reducer p then holds
         # exactly bucket p % num_buckets, so the write needs NO repartition
-        aligned = list(self.snapshot["bucket_keys"]) == list(pk)
+        aligned = pin_exchange and list(self.snapshot["bucket_keys"]) == list(pk)
         fpb = int(self.snapshot.get("files_per_bucket", 1))
         conf = self.spark.conf
-        prev_shuffle = conf.get("spark.sql.shuffle.partitions")
-        prev_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
         try:
             if aligned:
+                prev_shuffle = conf.get("spark.sql.shuffle.partitions")
+                prev_coalesce = conf.get(
+                    "spark.sql.adaptive.coalescePartitions.enabled"
+                )
                 conf.set(
                     "spark.sql.shuffle.partitions", str(self.num_buckets * fpb)
                 )
@@ -732,10 +744,11 @@ class LakeTable:
                 conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
             new_ref = self._write_data(merged, snap, layout_partitioned=aligned)
         finally:
-            conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-            conf.set(
-                "spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce
-            )
+            if aligned:
+                conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+                conf.set(
+                    "spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce
+                )
             if cached is not None:
                 cached.unpersist()
         snap["manifests"] = carried + [new_ref]

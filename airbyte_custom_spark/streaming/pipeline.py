@@ -865,61 +865,37 @@ class GlobalStateIngestJob(CdcIngestJob):
             )
             total = 0
             total_ignored = 0
-            for stream, (table, qid) in pending.items():
-                srows = [r for r in stats if r["st"] == stream]
-                part = batch_df.filter(F.col(self.stream_col) == stream).drop(
-                    self.stream_col
-                )
-                part = self._transform_stream_batch(part, table, batch_id, stream)
-                pk_flag = F.lit(False)
-                for k in table.primary_key:
-                    pk_flag = pk_flag | F.col(k).isNull()
-                if typed_input:
-                    pk_idx = pk_sets[tuple(table.primary_key)]
-                    n_bad = sum(r[f"null_pk_{pk_idx}"] for r in srows)
-                elif self.config.validate_pk:
-                    # untyped source: count violations on the typed slice
-                    # (the slice reads the cached batch, so this is one
-                    # cheap pass, not a source rescan)
-                    n_bad = part.filter(pk_flag).count()
-                else:
-                    n_bad = 0
-                ignored = 0
-                if self.config.validate_pk and n_bad > 0:
-                    if self.config.pk_violations == "fail":
-                        raise NullPrimaryKeyError(
-                            f"batch {batch_id} stream {stream!r} contains rows "
-                            f"with NULL primary key column(s) {table.primary_key}"
+            par = min(self.config.stream_parallelism, len(pending))
+            if par > 1:
+                # overlap independent per-stream pipelines: each targets
+                # its OWN table, so the merges are disjoint Spark jobs —
+                # concurrent driver threads keep the executor slots full
+                # while any one stream's small stages ramp up/down.
+                # Failure semantics match a sequential crash: already-
+                # committed streams skip on replay via their manifests.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=par) as pool:
+                    futs = [
+                        pool.submit(
+                            self._apply_stream, stream, table, qid,
+                            batch_df, batch_id, stats, pk_sets, typed_input,
+                            pin_exchange=False,
                         )
-                    ignored = n_bad
-                lineage = None
-                if self.config.record_lineage:
-                    lineage = sorted(
-                        (
-                            {
-                                "source_partition": r["sp"],
-                                "events": r["events"],
-                                "min_lsn": r["min_lsn"],
-                                "max_lsn": r["max_lsn"],
-                            }
-                            for r in srows
-                        ),
-                        key=lambda d: (
-                            d["source_partition"] is None,
-                            d["source_partition"],
-                        ),
+                        for stream, (table, qid) in pending.items()
+                    ]
+                    # .result() re-raises the first pk-fail / merge error
+                    for fut in futs:
+                        n, ignored = fut.result()
+                        total += n
+                        total_ignored += ignored
+            else:
+                for stream, (table, qid) in pending.items():
+                    n, ignored = self._apply_stream(
+                        stream, table, qid, batch_df, batch_id, stats,
+                        pk_sets, typed_input,
                     )
-                if ignored:
-                    part = part.filter(~pk_flag)
-                result = table.merge(
-                    part,
-                    batch_id=batch_id,
-                    query_id=qid,
-                    lineage=lineage,
-                    validate_pk=False,  # validated via the fused stats above
-                )
-                if not result.skipped:
-                    total += sum(r["events"] for r in srows) - ignored
+                    total += n
                     total_ignored += ignored
         finally:
             batch_df.unpersist()
@@ -931,6 +907,82 @@ class GlobalStateIngestJob(CdcIngestJob):
                 ignored=total_ignored,
             )
         )
+
+    def _apply_stream(
+        self,
+        stream: str,
+        table: LakeTable,
+        qid: str,
+        batch_df: DataFrame,
+        batch_id: int,
+        stats: list,
+        pk_sets: dict[tuple[str, ...], int],
+        typed_input: bool,
+        pin_exchange: bool = True,
+    ) -> tuple[int, int]:
+        """One stream's slice → transform → validate → merge; returns
+        (events_applied, ignored).  Safe to run concurrently across
+        streams (disjoint tables, shared read-only cached batch)."""
+        srows = [r for r in stats if r["st"] == stream]
+        part = batch_df.filter(F.col(self.stream_col) == stream).drop(
+            self.stream_col
+        )
+        part = self._transform_stream_batch(part, table, batch_id, stream)
+        pk_flag = F.lit(False)
+        for k in table.primary_key:
+            pk_flag = pk_flag | F.col(k).isNull()
+        if typed_input:
+            pk_idx = pk_sets[tuple(table.primary_key)]
+            n_bad = sum(r[f"null_pk_{pk_idx}"] for r in srows)
+        elif self.config.validate_pk:
+            # untyped source: count violations on the typed slice (the
+            # slice reads the cached batch, so this is one cheap pass,
+            # not a source rescan)
+            n_bad = part.filter(pk_flag).count()
+        else:
+            n_bad = 0
+        ignored = 0
+        if self.config.validate_pk and n_bad > 0:
+            if self.config.pk_violations == "fail":
+                raise NullPrimaryKeyError(
+                    f"batch {batch_id} stream {stream!r} contains rows "
+                    f"with NULL primary key column(s) {table.primary_key}"
+                )
+            ignored = n_bad
+        lineage = None
+        if self.config.record_lineage:
+            lineage = sorted(
+                (
+                    {
+                        "source_partition": r["sp"],
+                        "events": r["events"],
+                        "min_lsn": r["min_lsn"],
+                        "max_lsn": r["max_lsn"],
+                    }
+                    for r in srows
+                ),
+                key=lambda d: (
+                    d["source_partition"] is None,
+                    d["source_partition"],
+                ),
+            )
+        if ignored:
+            part = part.filter(~pk_flag)
+        result = table.merge(
+            part,
+            batch_id=batch_id,
+            query_id=qid,
+            lineage=lineage,
+            validate_pk=False,  # validated via the fused stats above
+            # concurrent threads must not touch session confs (the pinned
+            # single-exchange plan mutates shuffle.partitions); the
+            # unpinned plan costs one extra exchange of already-reduced
+            # rows only
+            pin_exchange=pin_exchange,
+        )
+        if result.skipped:
+            return 0, 0
+        return sum(r["events"] for r in srows) - ignored, ignored
 
 
 class JsonGlobalStateIngestJob(GlobalStateIngestJob):

@@ -249,3 +249,75 @@ def test_json_global_state_streams_type_independently(spark, tmp_path):
     # values are the LATEST per key in lsn order
     latest_text = chats.read().filter("conv_id = 'c0' and turn_idx = 0").first()["text"]
     assert latest_text == "t@281"  # max even lsn with i%40==0 and i%7==0: i=280
+
+
+def test_stream_parallelism_matches_sequential_and_keeps_confs(spark, tmp_path):
+    """round-4: `stream_parallelism` overlaps per-stream merges via driver
+    threads.  Parallel and sequential runs of the SAME 8-stream WAL must
+    produce identical final tables, and — because the threaded path opts
+    out of the session-conf-pinning merge plan (`pin_exchange=False`) —
+    the session confs must be byte-identical before and after (no clobber,
+    no leak from concurrent merges)."""
+    ev = change_events(spark, 6000, n_convs=120, max_turns=8, p_delete=0.1)
+    tagged = ev.withColumn(
+        "stream", F.concat(F.lit("s"), (F.col("lsn") % 8).cast("string"))
+    )
+    src = str(tmp_path / "wal")
+    write_event_chunks(tagged, src, n_chunks=3)
+
+    def run(tag, parallelism):
+        paths = {}
+        for i in range(8):
+            p = str(tmp_path / f"tbl_{tag}_s{i}")
+            LakeTable.create(spark, p, TRANSCRIPT_SCHEMA, num_buckets=4)
+            paths[f"s{i}"] = p
+        job = GlobalStateIngestJob(
+            spark, paths, src, str(tmp_path / f"ckpt_{tag}"),
+            IngestConfig(stream_parallelism=parallelism),
+        )
+        job.run_available_now()
+        return paths, job
+
+    before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    seq_paths, _ = run("seq", 1)
+    par_paths, par_job = run("par", 4)
+    after = {k: spark.conf.get(k) for k in before}
+    assert after == before
+    for s in seq_paths:
+        a = LakeTable.load(spark, seq_paths[s]).read()
+        b = LakeTable.load(spark, par_paths[s]).read()
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert par_job.metrics.total_events == tagged.count()
+
+
+def test_stream_parallelism_propagates_pk_failure(spark, tmp_path):
+    """A NULL-pk slice under pk_violations='fail' must abort the batch even
+    when merges run on pool threads (future.result re-raises)."""
+    from airbyte_custom_spark.operators.dedupe import NullPrimaryKeyError
+
+    ev = change_events(spark, 500, n_convs=20, max_turns=5, p_delete=0.0)
+    tagged = ev.withColumn(
+        "stream", F.concat(F.lit("s"), (F.col("lsn") % 4).cast("string"))
+    ).withColumn(
+        "conv_id",
+        F.when(F.col("lsn") % 97 == 0, F.lit(None)).otherwise(F.col("conv_id")),
+    )
+    src = str(tmp_path / "wal")
+    write_event_chunks(tagged, src, n_chunks=1)
+    paths = {}
+    for i in range(4):
+        p = str(tmp_path / f"tbl_s{i}")
+        LakeTable.create(spark, p, TRANSCRIPT_SCHEMA, num_buckets=2)
+        paths[f"s{i}"] = p
+    job = GlobalStateIngestJob(
+        spark, paths, src, str(tmp_path / "ckpt"),
+        IngestConfig(stream_parallelism=4, pk_violations="fail"),
+    )
+    with pytest.raises(Exception, match="NULL primary key|injected|StreamingQueryException"):
+        job.run_available_now()
