@@ -150,6 +150,52 @@ def q_cdc_stream_tail_final_state(spark: SparkSession, sf_dir: str) -> DataFrame
     return _final_payload(LakeTable.load(spark, t.path).read())
 
 
+def q_stateful_sequence_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState,
+    `streaming/stateful.py`): per-conversation sequence monitor — state
+    (events, max_lsn, last_turn, gaps, regressions, deletes) carried
+    across micro-batches, folded in lsn order.  Runs the REAL streaming
+    operator over multi-batch segments (not the batch shortcut); the
+    DuckDB oracle replicates the fold as a LAG window, so the incremental
+    state machine is value-checked end to end."""
+    import uuid
+
+    from airbyte_custom_spark.schema import CDC_EVENT_SCHEMA
+    from airbyte_custom_spark.streaming.stateful import sequence_monitor
+
+    ev = events_from_table(spark, sf_dir)
+    src = _fresh_dir("monwal")
+    write_event_chunks(ev, src, n_chunks=4)
+    name = "mon_" + uuid.uuid4().hex[:12]
+    stream = (
+        spark.readStream.schema(CDC_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    q = (
+        sequence_monitor(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", _fresh_dir("monckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy(F.desc("events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select(
+            "conv_id", "events", "max_lsn", "last_turn", "gaps",
+            "regressions", "deletes",
+        )
+    )
+
+
 def q_json_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-JSON-envelope replay end-to-end: typed events packed into the
     `_airbyte_data`-style payload string, streamed through
@@ -645,6 +691,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_raw_retype_final_state": q_json_raw_retype_final_state,
         "cdc_final_state_incremental": q_cdc_final_state_incremental,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
+        "stateful_sequence_monitor": q_stateful_sequence_monitor,
         "raw_table_dedup": q_raw_table_dedup,
         "incremental_cursor_scan": q_incremental_cursor_scan,
         "full_refresh_scan": q_full_refresh_scan,
@@ -717,6 +764,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_final_state_incremental": _ORACLE_FINAL,
         "cdc_stream_tail_final_state": _ORACLE_FINAL,
+        "stateful_sequence_monitor": f"""
+WITH ev AS ({DERIVATION_SQL}),
+lagged AS (
+  SELECT conv_id, turn_idx, lsn, op,
+         lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY lsn) AS pt
+  FROM ev
+)
+SELECT conv_id,
+       count(*) AS events,
+       max(lsn) AS max_lsn,
+       arg_max(turn_idx, lsn) AS last_turn,
+       CAST(coalesce(sum(CASE WHEN turn_idx > pt + 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS gaps,
+       CAST(coalesce(sum(CASE WHEN turn_idx < pt THEN 1 ELSE 0 END), 0) AS BIGINT) AS regressions,
+       CAST(coalesce(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END), 0) AS BIGINT) AS deletes
+FROM lagged
+GROUP BY conv_id
+""",
         # retained-raw rebuild must converge to the same replayed state
         "json_raw_retype_final_state": _ORACLE_FINAL,
         # the raw/final path must converge to the same replayed state

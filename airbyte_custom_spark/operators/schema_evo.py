@@ -239,7 +239,13 @@ def _infer_value_type(values: list) -> T.DataType:
     UnsupportedOneOf handling."""
     vals = [v for v in values if v is not None]
     if not vals:
-        return T.StringType()
+        # no evidence yet: NullType sentinel — the caller DEFERS the
+        # column (prune_untyped) instead of locking in StringType, so a
+        # key whose first appearances are all NULL still gets its real
+        # type when values arrive (nothing is lost: the deferred rows'
+        # values were null).  Locking string here was a measured bug —
+        # a later all-int key read back as "0" instead of 0.
+        return T.NullType()
     if all(isinstance(v, bool) for v in vals):
         return T.BooleanType()
     if all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
@@ -272,6 +278,34 @@ def _infer_value_type(values: list) -> T.DataType:
     return T.StringType()
 
 
+def prune_untyped(dt: T.DataType) -> T.DataType | None:
+    """Resolve the NullType no-evidence sentinel in an inferred type.
+
+    - scalar NullType → None: DEFER the column; every value behind it was
+      null, so waiting for real evidence is lossless and avoids locking
+      a type the data later contradicts;
+    - array whose elements had no evidence (only []/null seen) →
+      array<string>: the ARRAY itself was observed, so the column must
+      exist now; elements fall back to lossless strings (the same
+      Union-fallback rule as mixed types);
+    - struct whose observed subfields were all null → StringType: the
+      raw-JSON-text column, matching the empty-struct policy above (an
+      empty StructType is unwritable in parquet)."""
+    if isinstance(dt, T.NullType):
+        return None
+    if isinstance(dt, T.ArrayType):
+        el = prune_untyped(dt.elementType)
+        return T.ArrayType(T.StringType() if el is None else el)
+    if isinstance(dt, T.StructType):
+        kept = []
+        for f in dt.fields:
+            sub = prune_untyped(f.dataType)
+            if sub is not None:
+                kept.append(T.StructField(f.name, sub, True))
+        return T.StructType(kept) if kept else T.StringType()
+    return dt
+
+
 def infer_payload_schema(
     df: DataFrame,
     json_col: str,
@@ -299,13 +333,18 @@ def infer_payload_schema(
         for k in p:
             if k not in names:
                 names.append(k)
-    fields = [
-        T.StructField(
-            name, _infer_value_type([p[name] for p in parsed if name in p]), True
+    fields = []
+    for name in names:
+        dt = prune_untyped(
+            _infer_value_type([p[name] for p in parsed if name in p])
         )
-        for name in names
-    ]
+        if dt is not None:  # all-null key: DEFER (see _infer_value_type)
+            fields.append(T.StructField(name, dt, True))
     if keys is not None:
+        # sampled = the PRE-prune name set: a key seen in the sample but
+        # deferred (all null) must NOT fall into the string fallback —
+        # deferral is the point; the fallback is only for keys the sample
+        # never saw at all (their raw JSON text survives as string)
         sampled = set(names)
         fields += [
             T.StructField(k, T.StringType(), True)

@@ -24,6 +24,7 @@ order ≅ `_ab_cdc_cursor` (`MySqlCdcConnectorMetadataInjector.java:26-31`).
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
@@ -155,6 +156,20 @@ def write_event_chunks(
         .partitionBy("chunk")
         .parquet(path)
     )
+    # Binlog segments arrive in LSN order; the file-stream source orders
+    # batches by modification time, and the parallel write above finishes
+    # chunks in arbitrary task order.  Re-stamp mtimes so chunk i sorts
+    # strictly before chunk i+1 — without this, a multi-trigger tail can
+    # deliver segment 2 before segment 1 (merge is order-insensitive, but
+    # order-SENSITIVE consumers like streaming/stateful.py would see an
+    # arrival order no real binlog produces).
+    base = time.time()
+    for i in range(n_chunks):
+        cdir = os.path.join(path, f"chunk={i}")
+        if not os.path.isdir(cdir):
+            continue
+        for f in os.listdir(cdir):
+            os.utime(os.path.join(cdir, f), (base + i, base + i))
     return [os.path.join(path, f"chunk={i}") for i in range(n_chunks)]
 
 

@@ -523,3 +523,48 @@ def test_json_ingest_envelope_column_name_collision_is_suffixed(spark, tmp_path)
     assert row["_lsn"] == 3            # the ENVELOPE lsn drove the merge
     assert row["lsn_1"] == 999999      # the payload's field, preserved
     assert row["op_1"] == "weird"
+
+
+def test_all_null_new_key_defers_type_until_evidence(spark, tmp_path):
+    """round-4 fix (hypothesis-found): a new payload key whose first
+    batch carries ONLY nulls must NOT lock the column to string — the
+    column is deferred (its values were null; nothing is lost) and gets
+    its real type when evidence arrives.  An empty-list key, by contrast,
+    creates array<string> immediately (the array was observed; elements
+    fall back to lossless strings)."""
+    from pyspark.sql import types as T
+
+    from airbyte_custom_spark.streaming.pipeline import infer_evolve_extract
+
+    def env(rows):
+        return spark.createDataFrame(
+            rows, "lsn long, op string, payload string"
+        ).select(
+            "lsn", "op", "payload",
+            F.lit(None).cast("timestamp").alias("_ab_cdc_updated_at"),
+            F.lit(None).cast("timestamp").alias("_ab_cdc_deleted_at"),
+            F.lit(0).alias("source_partition"),
+        )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, num_buckets=2
+    )
+    import json as _json
+
+    b1 = env([
+        (1, "c", _json.dumps({"conv_id": "a", "turn_idx": 0, "role": "user",
+                              "text": "x", "k": None, "e": []})),
+    ])
+    t.merge(infer_evolve_extract(b1, t, "payload"), batch_id=0)
+    assert "k" not in t.payload_columns  # deferred: no evidence yet
+    assert dict(t.read().dtypes)["e"] == "array<string>"
+
+    b2 = env([
+        (2, "u", _json.dumps({"conv_id": "a", "turn_idx": 1, "role": "user",
+                              "text": "y", "k": 7})),
+    ])
+    t.merge(infer_evolve_extract(b2, t, "payload"), batch_id=1)
+    fields = {f.name: f.dataType for f in t.schema().fields}
+    assert isinstance(fields["k"], T.LongType)  # typed from real evidence
+    vals = {r["turn_idx"]: r["k"] for r in t.read().collect()}
+    assert vals == {0: None, 1: 7}

@@ -1,0 +1,174 @@
+"""Custom stateful streaming operator (`streaming/stateful.py`):
+applyInPandasWithState sequence monitor — incremental fold across
+micro-batches ≡ one-pass LAG fold; idle-key eviction via
+processing-time timeout."""
+
+import time
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from airbyte_custom_spark.schema import CDC_EVENT_SCHEMA
+from airbyte_custom_spark.sources.generator import change_events, write_event_chunks
+from airbyte_custom_spark.streaming.stateful import sequence_monitor
+
+
+def _run_stream(spark, src, name, ck, timeout_ms=None, files_per_trigger=1,
+                out_dir=None):
+    stream = (
+        spark.readStream.schema(CDC_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", str(files_per_trigger))
+        .parquet(src)
+    )
+    mon = sequence_monitor(stream, idle_timeout_ms=timeout_ms)
+    if out_dir is None:
+        writer = mon.writeStream.format("memory").queryName(name)
+    else:
+        # memory sink can't recover a checkpoint across runs; foreachBatch
+        # + parquet append can (the timeout test restarts the query)
+        writer = mon.writeStream.foreachBatch(
+            lambda df, bid: df.write.mode("append").parquet(out_dir)
+        )
+    q = (
+        writer.outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(out_dir) if out_dir else spark.table(name)
+
+
+def _latest_per_key(df):
+    w = Window.partitionBy("conv_id").orderBy(F.desc("events"), F.desc("expired"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+
+
+def test_incremental_fold_matches_batch_fold(spark, tmp_path):
+    """State carried across 4 micro-batches must reproduce the one-pass
+    LAG fold exactly (every column, every conversation)."""
+    ev = change_events(spark, 3000, n_convs=80, max_turns=12, p_delete=0.1)
+    src = str(tmp_path / "wal")
+    write_event_chunks(ev, src, n_chunks=4)
+    out = _run_stream(spark, src, "mon_inc", str(tmp_path / "ck"))
+    got = _latest_per_key(out).drop("expired")
+    want = sequence_monitor(ev).drop("expired")  # batch fold
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # multi-batch really happened: some conv emitted >1 update
+    n_updates = out.count()
+    assert n_updates > got.count()
+
+
+def test_gap_and_regression_counts(spark):
+    """Hand-built sequence: turns 0,1,3 (gap), then 2 (regression), then a
+    delete.  Batch and semantics doc agree."""
+    rows = [
+        (1, "c", "a", 0),
+        (2, "u", "a", 1),
+        (3, "u", "a", 3),   # gap (3 > 1+1)
+        (4, "u", "a", 2),   # regression (2 < 3)
+        (5, "d", "a", 2),
+        (6, "c", "b", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "lsn long, op string, conv_id string, turn_idx int"
+    )
+    got = {
+        r["conv_id"]: r
+        for r in sequence_monitor(df).collect()
+    }
+    a = got["a"]
+    assert (a["events"], a["gaps"], a["regressions"], a["deletes"]) == (5, 1, 1, 1)
+    assert a["last_turn"] == 2 and a["max_lsn"] == 5
+    b = got["b"]
+    assert (b["events"], b["gaps"], b["regressions"], b["deletes"]) == (1, 0, 0, 0)
+
+
+def test_idle_timeout_evicts_and_flags(spark, tmp_path):
+    """Keys whose state sat idle past the timeout emit a final
+    expired=true row and are evicted (bounded state); a key WITH new data
+    is processed against its carried state first.
+
+    A query with pending processing-time timers keeps running empty
+    batches to service them (observed: availableNow does NOT self-stop
+    while timers are armed), so each phase stops the query explicitly
+    right after its data batch commits — timers then fire on the next
+    restart's first batch, which is the realistic tail-resume shape."""
+    import glob
+    import os
+    import shutil
+
+    def flat_segment(df, name):
+        """One FLAT parquet file under src (no partition dirs — the file
+        stream treats each as one binlog segment)."""
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        os.makedirs(src, exist_ok=True)
+        (part,) = glob.glob(stage + "/part-*.parquet")
+        shutil.move(part, os.path.join(src, f"{name}.parquet"))
+
+    src = str(tmp_path / "wal")
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+
+    def run_until_data_batch(timeout_ms=15000):
+        stream = spark.readStream.schema(CDC_EVENT_SCHEMA).parquet(src)
+        q = (
+            sequence_monitor(stream, idle_timeout_ms=timeout_ms)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if any(p["numInputRows"] > 0 for p in q.recentProgress):
+                break
+            time.sleep(0.5)
+        time.sleep(2)  # let the commit land
+        q.stop()
+        q.awaitTermination(60)
+        return spark.read.parquet(out_dir)
+
+    ev = change_events(spark, 400, n_convs=10, max_turns=6, p_delete=0.0)
+    flat_segment(ev.filter("lsn <= 200"), "seg0")
+    out1 = run_until_data_batch()
+    keys1 = {r["conv_id"] for r in out1.select("conv_id").distinct().collect()}
+    assert len(keys1) > 1
+    assert out1.filter("expired").count() == 0  # stopped before the timer
+    time.sleep(16)  # past the 15s timer
+    # new segment for ONE conversation only: its state advances; every
+    # other key's timer is past due and fires on the restart's batches
+    flat_segment(ev.filter("lsn > 200 and conv_id = 'conv-0'"), "seg1")
+    out2 = run_until_data_batch().exceptAll(out1)
+    expired = {r["conv_id"] for r in out2.filter("expired").collect()}
+    assert expired >= keys1 - {"conv-0"}
+    # conv-0 processed WITH its carried state (not evicted first): its
+    # run-2 update row continues run 1's event count
+    run1_events = (
+        out1.filter("conv_id = 'conv-0'").agg(F.max("events")).first()[0]
+    )
+    run2_live = (
+        out2.filter("conv_id = 'conv-0' and not expired")
+        .agg(F.max("events"))
+        .first()[0]
+    )
+    assert run2_live is not None and run2_live > run1_events
+
+
+def test_streaming_plan_shuffles_once_on_key(spark, tmp_path):
+    """The stateful operator's plan partitions by conv_id exactly once —
+    FlatMapGroupsInPandasWithState above a single exchange."""
+    ev = change_events(spark, 200, n_convs=10, max_turns=4, p_delete=0.0)
+    src = str(tmp_path / "wal")
+    write_event_chunks(ev, src, n_chunks=1)
+    stream = spark.readStream.schema(CDC_EVENT_SCHEMA).parquet(src)
+    plan = sequence_monitor(stream)._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" in plan
