@@ -118,6 +118,69 @@ def fetch_with_policy(
             attempt += 1
 
 
+@dataclass
+class OAuth2Authenticator:
+    """OAuth2 token-refresh auth (`airbyte-cdk/.../requests_native_auth/
+    abstract_oauth.py:23-106`, `oauth.py:14` analog): lazily fetches an
+    access token from ``token_endpoint`` and re-fetches when it expires
+    (``expires_in`` minus a safety margin).  The HTTP POST is an injected
+    callable ``post(url, form: dict) -> bytes`` returning the token JSON —
+    offline-testable; a `requests`-based post is a one-liner on a real
+    cluster.
+
+    Works everywhere a `TokenAuthenticator` does (``DeclarativeStream.
+    auth`` duck-types on ``.headers()``).  Executor semantics: cloudpickle
+    ships the authenticator per task, so each task refreshes independently
+    under its own clock — at most one refresh per task per expiry window
+    (the reference's per-process token cache behaves the same way)."""
+
+    token_endpoint: str
+    client_id: str
+    client_secret: str
+    post: Callable[[str, dict], bytes]
+    refresh_token: str | None = None
+    grant_type: str = "client_credentials"
+    scopes: tuple[str, ...] = ()
+    access_token_name: str = "access_token"
+    expires_in_name: str = "expires_in"
+    expiry_margin_sec: float = 120.0
+    header: str = "Authorization"
+    prefix: str = "Bearer"
+    clock: Callable[[], float] = time.monotonic
+    _token: str | None = field(default=None, init=False, repr=False)
+    _expires_at: float = field(default=0.0, init=False, repr=False)
+
+    def refresh_request_body(self) -> dict:
+        """`abstract_oauth.py:54-84` build_refresh_request_body analog."""
+        body = {
+            "grant_type": self.grant_type,
+            "client_id": self.client_id,
+            "client_secret": self.client_secret,
+        }
+        if self.refresh_token is not None:
+            body["refresh_token"] = self.refresh_token
+        if self.scopes:
+            body["scopes"] = " ".join(self.scopes)
+        return body
+
+    def access_token(self) -> str:
+        """Cached token, refreshed on expiry (`abstract_oauth.py:41-52`)."""
+        if self._token is None or self.clock() >= self._expires_at:
+            payload = json.loads(
+                self.post(self.token_endpoint, self.refresh_request_body())
+            )
+            self._token = str(payload[self.access_token_name])
+            ttl = float(payload.get(self.expires_in_name, 3600))
+            self._expires_at = self.clock() + max(
+                ttl - self.expiry_margin_sec, 1.0
+            )
+        return self._token
+
+    def headers(self) -> dict[str, str]:
+        tok = self.access_token()
+        return {self.header: f"{self.prefix} {tok}" if self.prefix else tok}
+
+
 @dataclass(frozen=True)
 class RecordSelector:
     """dpath-style record extraction (`dpath_extractor.py` analog):
@@ -161,7 +224,7 @@ class DeclarativeStream:
     pagination: OffsetPagination = field(default_factory=OffsetPagination)
     selector: RecordSelector = field(default_factory=RecordSelector)
     record_schema: T.StructType | None = None
-    auth: TokenAuthenticator | None = None
+    auth: TokenAuthenticator | OAuth2Authenticator | None = None
     retry: RetryPolicy = field(default_factory=RetryPolicy)
 
 

@@ -164,3 +164,82 @@ def test_token_provider_resolves_at_fetch_time():
     auth = TokenAuthenticator(token=lambda: next(vals), prefix="")
     assert auth.headers() == {"Authorization": "t1"}
     assert auth.headers() == {"Authorization": "t2"}
+# To append to tests/test_http_source.py
+
+
+def test_oauth2_refreshes_on_expiry_and_caches():
+    """OAuth2Authenticator fetches lazily, caches until expires_in minus
+    margin, refreshes after expiry (`abstract_oauth.py:41-52` semantics)."""
+    import json as _json
+
+    from airbyte_custom_spark.sources.http import OAuth2Authenticator
+
+    calls = []
+    now = [1000.0]
+
+    def post(url, body):
+        calls.append((url, dict(body)))
+        return _json.dumps(
+            {"access_token": f"tok{len(calls)}", "expires_in": 300}
+        ).encode()
+
+    auth = OAuth2Authenticator(
+        token_endpoint="https://idp/token",
+        client_id="cid",
+        client_secret="sec",
+        refresh_token="rtok",
+        grant_type="refresh_token",
+        post=post,
+        expiry_margin_sec=60.0,
+        clock=lambda: now[0],
+    )
+    assert auth.headers() == {"Authorization": "Bearer tok1"}
+    assert auth.headers() == {"Authorization": "Bearer tok1"}  # cached
+    assert len(calls) == 1
+    assert calls[0][0] == "https://idp/token"
+    assert calls[0][1]["grant_type"] == "refresh_token"
+    assert calls[0][1]["refresh_token"] == "rtok"
+    now[0] += 239.0  # inside expiry (300 - 60 margin)
+    assert auth.headers() == {"Authorization": "Bearer tok1"}
+    now[0] += 2.0  # past it
+    assert auth.headers() == {"Authorization": "Bearer tok2"}
+    assert len(calls) == 2
+
+
+def test_oauth2_plugs_into_paginated_read(spark):
+    """DeclarativeStream duck-types on .headers(): the distributed page
+    fetch carries the OAuth bearer token on every request."""
+    import json as _json
+
+    from airbyte_custom_spark.sources.http import (
+        DeclarativeStream,
+        OAuth2Authenticator,
+        OffsetPagination,
+        RecordSelector,
+        paginated_read,
+    )
+
+    def post(url, body):
+        return _json.dumps({"access_token": "T", "expires_in": 3600}).encode()
+
+    auth = OAuth2Authenticator(
+        token_endpoint="https://idp/token", client_id="c", client_secret="s",
+        post=post,
+    )
+
+    def fetch(url, headers=None):
+        assert headers == {"Authorization": "Bearer T"}, headers
+        page = int(url.rsplit("=", 1)[1]) // 2
+        return _json.dumps(
+            {"data": [{"id": page * 2 + i} for i in range(2)]}
+        ).encode()
+
+    stream = DeclarativeStream(
+        url_template="https://api/items?limit={limit}&offset={offset}",
+        pagination=OffsetPagination(limit=2, total_pages=3),
+        selector=RecordSelector(("data",)),
+        record_schema=None,
+        auth=auth,
+    )
+    out = paginated_read(spark, stream, fetch, num_partitions=2)
+    assert out.count() == 6
