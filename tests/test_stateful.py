@@ -172,3 +172,31 @@ def test_streaming_plan_shuffles_once_on_key(spark, tmp_path):
     stream = spark.readStream.schema(CDC_EVENT_SCHEMA).parquet(src)
     plan = sequence_monitor(stream)._jdf.queryExecution().analyzed().toString()
     assert "FlatMapGroupsInPandasWithState" in plan
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path):
+    """The monitor is state-store-provider-agnostic: with the RocksDB
+    provider (the 100-TB configuration — per-key state off-heap), the
+    incremental fold still matches the one-pass LAG fold."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = change_events(spark, 1500, n_convs=40, max_turns=8, p_delete=0.1)
+        src = str(tmp_path / "wal")
+        write_event_chunks(ev, src, n_chunks=3)
+        out = _run_stream(spark, src, "mon_rdb", str(tmp_path / "ck"))
+        got = _latest_per_key(out).drop("expired")
+        want = sequence_monitor(ev).drop("expired")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
