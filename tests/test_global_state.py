@@ -321,3 +321,62 @@ def test_stream_parallelism_propagates_pk_failure(spark, tmp_path):
     )
     with pytest.raises(Exception, match="NULL primary key|injected|StreamingQueryException"):
         job.run_available_now()
+
+
+def test_json_global_state_with_stream_parallelism(spark, tmp_path):
+    """The JSON variant's per-stream inference+evolution+extraction also
+    runs safely on pool threads (each stream evolves its OWN table):
+    results match the sequential run, including independently evolved
+    schemas."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from airbyte_custom_spark.streaming.pipeline import JsonGlobalStateIngestJob
+
+    rows = []
+    for i in range(600):
+        lsn = i + 1
+        sidx = i % 6
+        payload = {"conv_id": f"c{i % 30}", "turn_idx": i % 5,
+                   f"extra_{sidx}": i if sidx % 2 == 0 else f"v{i}"}
+        rows.append((lsn, "c", _json.dumps(payload), f"s{sidx}"))
+    env = spark.createDataFrame(
+        rows, "lsn long, op string, payload string, stream string"
+    ).select(
+        "lsn", "op", "payload",
+        F.lit(None).cast("timestamp").alias("_ab_cdc_updated_at"),
+        F.lit(None).cast("timestamp").alias("_ab_cdc_deleted_at"),
+        (F.col("lsn") % 3).cast("int").alias("source_partition"),
+        "stream",
+    )
+    src = str(tmp_path / "wal")
+    write_event_chunks(env, src, n_chunks=2)
+    base = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+    ])
+
+    def run(tag, par):
+        paths = {}
+        for i in range(6):
+            p = str(tmp_path / f"tbl_{tag}_s{i}")
+            LakeTable.create(spark, p, base, num_buckets=2)
+            paths[f"s{i}"] = p
+        JsonGlobalStateIngestJob(
+            spark, paths, src, str(tmp_path / f"ck_{tag}"),
+            IngestConfig(stream_parallelism=par),
+        ).run_available_now()
+        return paths
+
+    seq = run("jseq", 1)
+    par = run("jpar", 3)
+    for i in range(6):
+        s = f"s{i}"
+        a = LakeTable.load(spark, seq[s])
+        b = LakeTable.load(spark, par[s])
+        assert a.payload_columns == b.payload_columns, s
+        assert f"extra_{i}" in b.payload_columns, s
+        ra = sorted(map(tuple, a.read().collect()))
+        rb = sorted(map(tuple, b.read().collect()))
+        assert ra == rb, s

@@ -85,3 +85,33 @@ def test_broadcast_join_for_small_queries(spark, sf_dir):
     )
     plan = explain_str(brute_force_topk(e, q, k=3), "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_unpinned_merge_keeps_mapside_partial(spark, tmp_path):
+    """round-4 `pin_exchange=False` (concurrent-merge mode): the reduce
+    must STILL collapse map-side — WindowGroupLimit Partial below the
+    reduce exchange — with the layout repartition as a second, separate
+    exchange of already-reduced rows.  (An explicit repartition before
+    the window would silently DROP the partial — measured; that is why
+    the unpinned form keeps the reduce at session shuffle count and
+    repartitions after.)"""
+    from airbyte_custom_spark.lake.table import LakeTable
+    from airbyte_custom_spark.plans.inspect import exchange_count
+    from airbyte_custom_spark.schema import TRANSCRIPT_SCHEMA
+    from airbyte_custom_spark.sources.generator import change_events
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    t.merge(change_events(spark, 2000, n_convs=50), batch_id=0)
+    rows = t._finalize_rows(change_events(spark, 500, n_convs=50), None, defer_ids=True)
+    tgt = t._read_files(t.live_files())
+    merged = t._fill_ids_cols(t._merged_frame(rows, tgt), None)
+    # the unpinned write path: explicit layout repartition AFTER the reduce
+    laid_out = merged.withColumn("bucket", t.bucket_expr(merged)).repartition(
+        4, "bucket"
+    )
+    plan = explain_str(laid_out, "simple")
+    assert exchange_count(laid_out) == 2, plan
+    first_ex = plan.find("Exchange")
+    second_ex = plan.find("Exchange", first_ex + 1)
+    partial_pos = plan.find("WindowGroupLimit", second_ex)
+    assert partial_pos != -1 and "Partial" in plan, plan
