@@ -15,6 +15,8 @@ Usage (local or cluster; package shipped via --py-files):
         [--schema-json '<StructType json>']   # rebuild typed from raw
   ... job_main.py snapshot --table /data/tbl --source /data/snap.parquet \
         --state /data/snapstate --pk-col row_id [--chunk-size N]   # resumable
+  ... job_main.py monitor --source /data/seg --checkpoint /data/mck \
+        --out /data/mon [--idle-timeout-ms N]   # stateful sequence monitor
   ... job_main.py show --table /data/tbl [--limit 20]
   ... job_main.py history --table /data/tbl
   ... job_main.py compact --table /data/tbl
@@ -132,6 +134,20 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         help="never sweep files younger than this (in-flight-writer guard)",
     )
 
+    mon = sub.add_parser(
+        "monitor",
+        help="stateful per-conversation sequence monitor over a WAL "
+             "(applyInPandasWithState; gaps/regressions/deletes per key)",
+    )
+    mon.add_argument("--source", required=True)
+    mon.add_argument("--checkpoint", required=True)
+    mon.add_argument("--out", required=True, help="parquet dir for update rows")
+    mon.add_argument("--max-files", type=int, default=None)
+    mon.add_argument(
+        "--idle-timeout-ms", type=int, default=None,
+        help="evict conversations idle this long (expired=true final row)",
+    )
+
     gct = sub.add_parser("gc-tombstones", help="drop tombstones below an LSN")
     gct.add_argument("--table", required=True)
     gct.add_argument("--watermark", type=int, required=True)
@@ -219,6 +235,49 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                     "out_table": args.out_table,
                     "rows": final.read().count(),
                     "columns": final.payload_columns,
+                }
+            )
+        )
+    elif args.cmd == "monitor":
+        import time as _time
+
+        from airbyte_custom_spark.schema import CDC_EVENT_SCHEMA
+        from airbyte_custom_spark.streaming.stateful import sequence_monitor
+
+        reader = spark.readStream.schema(CDC_EVENT_SCHEMA)
+        if args.max_files:
+            reader = reader.option("maxFilesPerTrigger", str(args.max_files))
+        stream = reader.parquet(args.source)
+        q = (
+            sequence_monitor(stream, idle_timeout_ms=args.idle_timeout_ms)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(args.out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", args.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if args.idle_timeout_ms:
+            # armed timers keep availableNow alive with empty batches
+            # (see streaming/stateful.py) — stop once the data drained
+            deadline = _time.time() + 3600
+            while _time.time() < deadline:
+                pr = q.recentProgress
+                if pr and all(p["numInputRows"] == 0 for p in pr[-3:]) and any(
+                    p["numInputRows"] > 0 for p in pr
+                ):
+                    break
+                _time.sleep(1.0)
+            q.stop()
+        q.awaitTermination(3600)
+        rows = spark.read.parquet(args.out)
+        print(
+            json.dumps(
+                {
+                    "update_rows": rows.count(),
+                    "conversations": rows.select("conv_id").distinct().count(),
+                    "out": args.out,
                 }
             )
         )

@@ -67,3 +67,21 @@ def test_cli_resumable_snapshot(spark, tmp_path, capsys):
         "--pk-col", "row_id", "--chunk-size", "100",
     )
     assert s2["chunks_applied_this_run"] == 0
+
+
+def test_cli_monitor(spark, tmp_path, capsys):
+    """monitor subcommand: stateful sequence monitor over a WAL →
+    parquet of update rows + summary JSON."""
+    seg = str(tmp_path / "seg")
+    run(capsys, "gen", "--out", seg, "--events", "1500", "--chunks", "2")
+    out = str(tmp_path / "mon")
+    m = run(
+        capsys, "monitor", "--source", seg,
+        "--checkpoint", str(tmp_path / "mck"), "--out", out,
+        "--max-files", "1",
+    )
+    assert m["update_rows"] >= m["conversations"] > 0
+    rows = spark.read.parquet(out)
+    assert {"conv_id", "events", "gaps", "regressions", "deletes"} <= set(
+        rows.columns
+    )
