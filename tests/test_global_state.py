@@ -380,3 +380,47 @@ def test_json_global_state_with_stream_parallelism(spark, tmp_path):
         ra = sorted(map(tuple, a.read().collect()))
         rb = sorted(map(tuple, b.read().collect()))
         assert ra == rb, s
+
+
+def test_crash_inside_thread_pool_is_exactly_once(spark, tmp_path, monkeypatch):
+    """A merge failure on ONE pool thread mid-batch aborts the batch
+    after sibling streams may have committed; the restart replays the
+    batch — committed streams skip via their manifests, the failed one
+    applies — and every table ends exactly-once."""
+    ev = change_events(spark, 3000, n_convs=60, max_turns=8, p_delete=0.1)
+    tagged = ev.withColumn(
+        "stream", F.concat(F.lit("s"), (F.col("lsn") % 4).cast("string"))
+    )
+    src = str(tmp_path / "wal")
+    write_event_chunks(tagged, src, n_chunks=2)
+    paths = {}
+    for i in range(4):
+        p = str(tmp_path / f"tbl_s{i}")
+        LakeTable.create(spark, p, TRANSCRIPT_SCHEMA, num_buckets=4)
+        paths[f"s{i}"] = p
+
+    orig = LakeTable.merge
+    poisoned = {"armed": True}
+
+    def flaky(self, df, *a, **kw):
+        if poisoned["armed"] and self.path == paths["s2"]:
+            poisoned["armed"] = False
+            raise RuntimeError("injected pool-thread failure")
+        return orig(self, df, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "merge", flaky)
+    job = GlobalStateIngestJob(
+        spark, paths, src, str(tmp_path / "ck"),
+        IngestConfig(stream_parallelism=4, max_files_per_trigger=1),
+    )
+    with pytest.raises(Exception, match="injected pool-thread failure"):
+        job.run_available_now()
+    # restart from the same checkpoint (merge un-poisoned)
+    job2 = GlobalStateIngestJob(
+        spark, paths, src, str(tmp_path / "ck"),
+        IngestConfig(stream_parallelism=4, max_files_per_trigger=1),
+    )
+    job2.run_available_now()
+    for s, p in paths.items():
+        expect = tagged.filter(F.col("stream") == s).drop("stream")
+        assert_matches_replay(LakeTable.load(spark, p).read(), expect)
