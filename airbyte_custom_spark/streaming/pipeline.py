@@ -793,12 +793,26 @@ class GlobalStateIngestJob(CdcIngestJob):
         return True
 
     def _transform_stream_batch(
-        self, part: DataFrame, table, batch_id: int, stream: str
+        self,
+        part: DataFrame,
+        table,
+        batch_id: int,
+        stream: str,
+        tags: list[str] | None = None,
     ) -> DataFrame:
         """Per-stream transform hook, applied to each stream's slice
         before validation/merge (the JSON variant runs inference +
-        evolution + typed extraction here, against THAT stream's table)."""
+        evolution + typed extraction here, against THAT stream's table).
+        ``tags`` carries the stream's exact payload key set when the
+        batch ran fused discovery (`_discovery_expr`)."""
         return part
+
+    def _discovery_expr(self, pending: dict) -> F.Column | None:
+        """Optional per-row discovery-tag expression folded into the
+        global stats aggregation (None = no fused discovery).  The JSON
+        variant returns a stream-switched `tagged_key_expr`, which
+        replaces N per-slice discovery jobs with zero extra jobs."""
+        return None
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Single-pass multi-stream apply (round-3 fix): the micro-batch is
@@ -833,6 +847,12 @@ class GlobalStateIngestJob(CdcIngestJob):
         from pyspark import StorageLevel
 
         batch_df = self._resolve_batch(batch_df, batch_id)
+        disc = self._discovery_expr(pending)
+        if disc is not None:
+            # fused exact key discovery: the tag arrays are computed from
+            # the cached batch during the stats job — no extra scan, and
+            # the per-stream discovery jobs disappear entirely
+            batch_df = batch_df.withColumn("_acs_keys", disc)
         batch_df.persist(StorageLevel.DISK_ONLY)
         try:
             # one null-pk flag per DISTINCT primary-key tuple across the
@@ -855,6 +875,12 @@ class GlobalStateIngestJob(CdcIngestJob):
                     for k in pk:
                         flag = flag | F.col(k).isNull()
                     aggs.append(F.sum(flag.cast("int")).alias(f"null_pk_{i}"))
+            if disc is not None:
+                aggs.append(
+                    F.array_distinct(
+                        F.flatten(F.collect_set("_acs_keys"))
+                    ).alias("_keys")
+                )
             stats = (
                 batch_df.groupBy(
                     F.col(self.stream_col).alias("st"),
@@ -925,9 +951,14 @@ class GlobalStateIngestJob(CdcIngestJob):
         streams (disjoint tables, shared read-only cached batch)."""
         srows = [r for r in stats if r["st"] == stream]
         part = batch_df.filter(F.col(self.stream_col) == stream).drop(
-            self.stream_col
+            self.stream_col, "_acs_keys"
         )
-        part = self._transform_stream_batch(part, table, batch_id, stream)
+        tags = None
+        if srows and "_keys" in srows[0].__fields__:
+            tags = sorted({t for r in srows for t in (r["_keys"] or [])})
+        part = self._transform_stream_batch(
+            part, table, batch_id, stream, tags=tags
+        )
         pk_flag = F.lit(False)
         for k in table.primary_key:
             pk_flag = pk_flag | F.col(k).isNull()
@@ -1019,9 +1050,48 @@ class JsonGlobalStateIngestJob(GlobalStateIngestJob):
         return False
 
     def _transform_stream_batch(
-        self, part: DataFrame, table, batch_id: int, stream: str
+        self,
+        part: DataFrame,
+        table,
+        batch_id: int,
+        stream: str,
+        tags: list[str] | None = None,
     ) -> DataFrame:
-        return infer_evolve_extract(part, table, self.payload_col)
+        if tags is None:  # direct (non-fused) invocation
+            return infer_evolve_extract(part, table, self.payload_col)
+        from airbyte_custom_spark.operators.schema_evo import (
+            decode_discovery_tags,
+        )
+        from airbyte_custom_spark.operators.typed import extract_payload
+
+        keys, nested_keys_raw = decode_discovery_tags(tags)
+        full_map = _resolve_and_evolve(
+            table, keys, nested_keys_raw, part, self.payload_col
+        )
+        return extract_payload(
+            part, _payload_target(table), self.payload_col, key_map=full_map
+        )
+
+    def _discovery_expr(self, pending: dict) -> F.Column | None:
+        """Stream-switched `tagged_key_expr`: each pending stream's
+        branch tags its OWN table's struct columns (schemas evolve
+        independently).  CaseWhen evaluates only the matching branch per
+        row, so each row's payload parses once."""
+        from airbyte_custom_spark.operators.schema_evo import tagged_key_expr
+
+        out = None
+        for stream, (table, _qid) in sorted(pending.items()):
+            key_map = table.payload_key_map
+            raw_of = {col: raw for raw, col in key_map.items()}
+            expr = tagged_key_expr(
+                self.payload_col,
+                [raw_of.get(c, c) for c in _struct_cols(table)],
+            )
+            cond = F.col(self.stream_col) == stream
+            out = F.when(cond, expr) if out is None else out.when(cond, expr)
+        if out is None:
+            return None
+        return out.otherwise(F.array().cast("array<string>"))
 
 
 # streamed-event schema for GLOBAL-state sources: the CDC envelope plus the

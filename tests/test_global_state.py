@@ -424,3 +424,54 @@ def test_crash_inside_thread_pool_is_exactly_once(spark, tmp_path, monkeypatch):
     for s, p in paths.items():
         expect = tagged.filter(F.col("stream") == s).drop("stream")
         assert_matches_replay(LakeTable.load(spark, p).read(), expect)
+
+
+def test_json_global_discovery_is_fused_no_per_stream_jobs(spark, tmp_path, monkeypatch):
+    """The JSON variant's payload-key discovery rides the ONE global
+    stats aggregation (stream-switched tag expression): the standalone
+    per-slice discovery path must never run."""
+    import json as _json
+
+    import airbyte_custom_spark.operators.schema_evo as se
+    from airbyte_custom_spark.streaming.pipeline import JsonGlobalStateIngestJob
+    from pyspark.sql import types as T
+
+    def boom(*a, **kw):
+        raise AssertionError("per-slice discover_payload_keys ran")
+
+    monkeypatch.setattr(se, "discover_payload_keys", boom)
+
+    rows = []
+    for i in range(200):
+        payload = {"conv_id": f"c{i % 10}", "turn_idx": i % 4,
+                   f"x_{i % 2}": i}
+        rows.append((i + 1, "c", _json.dumps(payload), f"s{i % 2}"))
+    env = spark.createDataFrame(
+        rows, "lsn long, op string, payload string, stream string"
+    ).select(
+        "lsn", "op", "payload",
+        F.lit(None).cast("timestamp").alias("_ab_cdc_updated_at"),
+        F.lit(None).cast("timestamp").alias("_ab_cdc_deleted_at"),
+        (F.col("lsn") % 2).cast("int").alias("source_partition"),
+        "stream",
+    )
+    src = str(tmp_path / "wal")
+    write_event_chunks(env, src, n_chunks=2)
+    base = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+    ])
+    paths = {}
+    for i in range(2):
+        p = str(tmp_path / f"tbl_s{i}")
+        LakeTable.create(spark, p, base, num_buckets=2)
+        paths[f"s{i}"] = p
+    JsonGlobalStateIngestJob(
+        spark, paths, src, str(tmp_path / "ck"), IngestConfig()
+    ).run_available_now()
+    for i in range(2):
+        t = LakeTable.load(spark, paths[f"s{i}"])
+        assert f"x_{i}" in t.payload_columns
+        assert f"x_{1-i}" not in t.payload_columns
+        n_vals = t.read().filter(F.col(f"x_{i}").isNotNull()).count()
+        assert n_vals > 0
