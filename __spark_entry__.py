@@ -196,6 +196,53 @@ def q_stateful_sequence_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time aggregation (`streaming/dedup.py::
+    event_time_stats`): hourly tumbling windows per op over the CDC
+    envelope timestamp, run as a REAL multi-batch streaming query (update
+    mode, watermark-evicted state) — the DuckDB oracle is plain
+    time_bucket GROUP BY, so the streaming rollup is value-checked end to
+    end.  Epoch-aligned windows ⇒ `window().start` ≡ `time_bucket`."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from airbyte_custom_spark.schema import CDC_EVENT_SCHEMA
+    from airbyte_custom_spark.streaming.dedup import event_time_stats
+
+    ev = events_from_table(spark, sf_dir)
+    src = _fresh_dir("rollwal")
+    write_event_chunks(ev, src, n_chunks=4)
+    name = "roll_" + uuid.uuid4().hex[:12]
+    stream = (
+        spark.readStream.schema(CDC_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    q = (
+        event_time_stats(
+            stream, window="1 hour", horizon="7 days", by_op=True
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", _fresh_dir("rollckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    w = Window.partitionBy("ws", "op").orderBy(F.desc("events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select(
+            F.unix_micros(F.col("ws").cast("timestamp")).alias("ws_us"),
+            "op", "events", "min_lsn", "max_lsn",
+        )
+    )
+
+
 def q_json_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-JSON-envelope replay end-to-end: typed events packed into the
     `_airbyte_data`-style payload string, streamed through
@@ -692,6 +739,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state_incremental": q_cdc_final_state_incremental,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
         "stateful_sequence_monitor": q_stateful_sequence_monitor,
+        "event_time_rollup": q_event_time_rollup,
         "raw_table_dedup": q_raw_table_dedup,
         "incremental_cursor_scan": q_incremental_cursor_scan,
         "full_refresh_scan": q_full_refresh_scan,
@@ -764,6 +812,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_final_state_incremental": _ORACLE_FINAL,
         "cdc_stream_tail_final_state": _ORACLE_FINAL,
+        "event_time_rollup": f"""
+WITH ev AS ({DERIVATION_SQL})
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', _ab_cdc_updated_at)) AS ws_us,
+       op,
+       count(*) AS events,
+       min(lsn) AS min_lsn,
+       max(lsn) AS max_lsn
+FROM ev
+GROUP BY 1, 2
+""",
         "stateful_sequence_monitor": f"""
 WITH ev AS ({DERIVATION_SQL}),
 lagged AS (

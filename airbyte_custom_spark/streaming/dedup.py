@@ -34,16 +34,40 @@ def dedup_within_watermark(
     return out.dropDuplicates(list(keys))
 
 
-def event_time_stats(stream_df: DataFrame, ts_col: str = "_ab_cdc_updated_at"):
+def event_time_stats(
+    stream_df: DataFrame,
+    ts_col: str = "_ab_cdc_updated_at",
+    window: str = "1 minute",
+    horizon: str = "10 minutes",
+    by_op: bool = False,
+):
     """Tumbling-window event counts with late-data tolerance — the
-    watermarked aggregation shape (monitoring side-channel, not part of the
-    replication path)."""
-    return (
-        stream_df.withWatermark(ts_col, "10 minutes")
-        .groupBy(F.window(F.col(ts_col), "1 minute"))
+    watermarked streaming aggregation (monitoring side-channel, not part
+    of the replication path).  Rows later than ``horizon`` behind the
+    watermark are DROPPED from their window (bounded state: live windows
+    only — at 100 TB the state store holds rate × horizon, not history).
+
+    Works on a batch DataFrame too (withWatermark is a no-op there),
+    where it equals plain GROUP BY time-bucket SQL — which is exactly
+    what the driver-contract oracle checks the streaming run against.
+
+    Epoch-aligned tumbling windows: ``window(ts, w).start`` matches
+    DuckDB's ``time_bucket(INTERVAL w, ts)``."""
+    # group on the window() struct itself — that is what marks this as an
+    # EVENT-TIME aggregation (watermark-evicted state, late-row drops);
+    # the start timestamp is projected after the agg
+    keys = [F.window(F.col(ts_col), window)]
+    out_keys = [F.col("window.start").alias("ws")]
+    if by_op:
+        keys.append(F.col("op"))
+        out_keys.append(F.col("op"))
+    agg = (
+        stream_df.withWatermark(ts_col, horizon)
+        .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("events"),
             F.min("lsn").alias("min_lsn"),
             F.max("lsn").alias("max_lsn"),
         )
     )
+    return agg.select(*out_keys, "events", "min_lsn", "max_lsn")
