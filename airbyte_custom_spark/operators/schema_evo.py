@@ -311,6 +311,7 @@ def infer_payload_schema(
     json_col: str,
     sample_rows: int = 2048,
     keys: list[str] | None = None,
+    keep_untyped: bool = False,
 ) -> T.StructType:
     """Infer a StructType from a column of JSON object strings.
 
@@ -335,9 +336,13 @@ def infer_payload_schema(
                 names.append(k)
     fields = []
     for name in names:
-        dt = prune_untyped(
-            _infer_value_type([p[name] for p in parsed if name in p])
-        )
+        dt = _infer_value_type([p[name] for p in parsed if name in p])
+        if not keep_untyped:
+            # resolve the NullType sentinel here; ``keep_untyped=True``
+            # hands the raw inference to a caller that needs to tell a
+            # sampled-but-all-null (sub)key apart from an unsampled one
+            # (the streaming path's nested deferral) and prunes itself
+            dt = prune_untyped(dt)
         if dt is not None:  # all-null key: DEFER (see _infer_value_type)
             fields.append(T.StructField(name, dt, True))
     if keys is not None:

@@ -717,15 +717,25 @@ def _resolve_and_evolve(
         for f in cur_fields.values()
     )
     if new_keys or nested_new or nested_arrays:
-        inferred = infer_payload_schema(events, payload_col, keys=keys)
+        from airbyte_custom_spark.operators.schema_evo import prune_untyped
+
+        # keep_untyped: the raw inference distinguishes a
+        # sampled-but-all-null (sub)key (NullType sentinel — DEFER it)
+        # from one the sample never saw (string fallback); pruning
+        # happens below, after that decision
+        inferred = infer_payload_schema(
+            events, payload_col, keys=keys, keep_untyped=True
+        )
         # inference is keyed by RAW field name — re-key by column
         inf = {col_of(f.name): f.dataType for f in inferred.fields}
         merged_fields: list[T.StructField] = []
         changed = False
         for name, f in cur_fields.items():
             m = merge_nested(f.dataType, inf.get(name, f.dataType))
-            # exact-discovered subkeys the sample missed → lossless
-            # string subfields (same late-key policy as the top level)
+            # exact-discovered subkeys the sample NEVER SAW → lossless
+            # string subfields (same late-key policy as the top level);
+            # sampled-all-null subkeys are present as NullType here and
+            # therefore skipped — the prune below defers them
             if isinstance(m, T.StructType):
                 have = {g.name for g in m.fields}
                 m = T.StructType(
@@ -736,14 +746,17 @@ def _resolve_and_evolve(
                         if k not in have
                     ]
                 )
+            m = prune_untyped(m) or f.dataType
             if m != f.dataType:
                 changed = True
             merged_fields.append(T.StructField(name, m, True))
-        new_fields = [
-            T.StructField(col_of(f.name), f.dataType, True)
-            for f in inferred.fields
-            if col_of(f.name) not in existing
-        ]
+        new_fields = []
+        for f in inferred.fields:
+            if col_of(f.name) in existing:
+                continue
+            dt = prune_untyped(f.dataType)
+            if dt is not None:  # all-null new key: defer
+                new_fields.append(T.StructField(col_of(f.name), dt, True))
         if changed or new_fields:
             evolve_table_for(
                 table,

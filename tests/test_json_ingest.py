@@ -568,3 +568,52 @@ def test_all_null_new_key_defers_type_until_evidence(spark, tmp_path):
     assert isinstance(fields["k"], T.LongType)  # typed from real evidence
     vals = {r["turn_idx"]: r["k"] for r in t.read().collect()}
     assert vals == {0: None, 1: 7}
+
+
+def test_all_null_nested_subkey_defers_until_evidence(spark, tmp_path):
+    """The deferral rule applies one level down: a struct SUBFIELD whose
+    first batch carries only nulls is deferred (not string-locked) and
+    gets its real type when evidence arrives."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from airbyte_custom_spark.streaming.pipeline import infer_evolve_extract
+
+    def env(rows):
+        return spark.createDataFrame(
+            rows, "lsn long, op string, payload string"
+        ).select(
+            "lsn", "op", "payload",
+            F.lit(None).cast("timestamp").alias("_ab_cdc_updated_at"),
+            F.lit(None).cast("timestamp").alias("_ab_cdc_deleted_at"),
+            F.lit(0).alias("source_partition"),
+        )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, num_buckets=2
+    )
+
+    def payload(i, meta):
+        return _json.dumps({"conv_id": "a", "turn_idx": i, "role": "user",
+                            "text": f"t{i}", "meta": meta})
+
+    t.merge(infer_evolve_extract(env([(1, "c", payload(0, {"a": 1}))]), t,
+                                 "payload"), batch_id=0)
+    t.merge(infer_evolve_extract(env([(2, "c", payload(1, {"a": 2, "b": None}))]),
+                                 t, "payload"), batch_id=1)
+
+    def meta_fields():
+        (mf,) = [f for f in t.schema().fields if f.name == "meta"]
+        return {g.name: g.dataType for g in mf.dataType.fields}
+
+    assert set(meta_fields()) == {"a"}  # b deferred: all-null so far
+
+    t.merge(infer_evolve_extract(env([(3, "c", payload(2, {"b": 5}))]), t,
+                                 "payload"), batch_id=2)
+    fields = meta_fields()
+    assert isinstance(fields["b"], T.LongType), fields  # typed from evidence
+    vals = {r["turn_idx"]: (r["meta"]["a"] if r["meta"] else None,
+                            r["meta"]["b"] if r["meta"] else None)
+            for r in t.read().collect()}
+    assert vals == {0: (1, None), 1: (2, None), 2: (None, 5)}, vals
