@@ -359,6 +359,53 @@ def q_json_raw_retype_final_state(spark: SparkSession, sf_dir: str) -> DataFrame
     return _final_payload(rebuilt.read())
 
 
+def q_json_evolution_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream schema-evolution end-to-end (round 4): two payload
+    columns — `score` (double) and `reaction` (string) — first appear
+    only in events past the LSN midpoint (``to_json`` drops NULL fields,
+    so early envelopes carry no such keys at all, exactly like a source
+    ALTER TABLE ADD COLUMN mid-replication).  `JsonCdcIngestJob` must
+    discover the new keys with the exact distributed key-set aggregate,
+    evolve the table in place (E1/E2, `AirbyteType.java:16`,
+    `typing-deduping.md:5-70`), keep merging, and read pre-evolution
+    rows back as NULL — the final state must match the oracle's CASE
+    replay, proving no late-column value is lost and no early row is
+    mistyped."""
+    from airbyte_custom_spark.sources.generator import json_envelope
+    from airbyte_custom_spark.streaming.pipeline import JsonCdcIngestJob
+
+    ev = events_from_table(spark, sf_dir)
+    b = ev.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).first()
+    mid = (int(b["lo"]) + int(b["hi"])) // 2
+    late = (F.col("lsn") > F.lit(mid)) & (F.col("op") != "d")
+    evolved = ev.select(
+        "*",
+        F.when(late, (F.col("lsn") % 100).cast("double") + 0.25).alias("score"),
+        F.when(
+            late, F.concat(F.lit("r"), (F.col("lsn") % 4).cast("string"))
+        ).alias("reaction"),
+    )
+    src = _fresh_dir("evowal")
+    write_event_chunks(json_envelope(evolved), src, n_chunks=4)
+    t = LakeTable.create(spark, _fresh_dir("evotbl"), TRANSCRIPT_SCHEMA, num_buckets=16)
+    job = JsonCdcIngestJob(
+        spark,
+        t.path,
+        src,
+        _fresh_dir("evockpt"),
+        IngestConfig(max_files_per_trigger=2),
+    )
+    job.run_available_now()
+    final = LakeTable.load(spark, t.path).read()
+    return final.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.col("score").cast("double").alias("score"),
+        F.col("reaction").cast("string").alias("reaction"),
+    )
+
+
 def q_raw_table_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 end-to-end through the raw/final two-table path: append every
     event version to an append-only raw table, dedupRawTable it, read the
@@ -736,6 +783,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_cdc_final_state": q_json_cdc_final_state,
         "json_nested_final_state": q_json_nested_final_state,
         "json_raw_retype_final_state": q_json_raw_retype_final_state,
+        "json_evolution_final_state": q_json_evolution_final_state,
         "cdc_final_state_incremental": q_cdc_final_state_incremental,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
         "stateful_sequence_monitor": q_stateful_sequence_monitor,
@@ -841,6 +889,27 @@ GROUP BY conv_id
 """,
         # retained-raw rebuild must converge to the same replayed state
         "json_raw_retype_final_state": _ORACLE_FINAL,
+        # late-appearing columns: values exist only past the LSN midpoint;
+        # the engine must evolve mid-stream and backfill NULL for earlier
+        # rows — the oracle replays the same CASE over the winning event
+        "json_evolution_final_state": f"""
+            WITH ev AS ({ev}),
+            b AS (
+              SELECT CAST(floor((min(lsn) + max(lsn)) / 2.0) AS BIGINT) AS mid
+              FROM ev
+            ),
+            ranked AS (
+              SELECT ev.*, row_number() OVER (
+                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+              FROM ev
+            )
+            SELECT conv_id, turn_idx, text,
+                   CASE WHEN lsn > (SELECT mid FROM b)
+                        THEN CAST(lsn % 100 AS DOUBLE) + 0.25 END AS score,
+                   CASE WHEN lsn > (SELECT mid FROM b)
+                        THEN 'r' || CAST(lsn % 4 AS STRING) END AS reaction
+            FROM ranked WHERE rn = 1 AND op <> 'd'
+        """,
         # the raw/final path must converge to the same replayed state
         "raw_table_dedup": _ORACLE_FINAL,
         "incremental_cursor_scan": f"""
