@@ -150,6 +150,44 @@ def q_cdc_stream_tail_final_state(spark: SparkSession, sf_dir: str) -> DataFrame
     return _final_payload(LakeTable.load(spark, t.path).read())
 
 
+def q_lineage_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 per-partition lineage, driver-verified end to end: run the
+    checkpointed streaming tail over 4 binlog segments (one micro-batch
+    each), then read back the lineage rows PERSISTED in the commit
+    snapshots (`lake/table.py` `snap["lineage"]`; reference analog
+    `AbstractDbSource.java:415-424` record counters) and fold them per
+    source partition.  Totals must equal a plain GROUP BY over the
+    derived events — proving the metrics are exact and complete across
+    micro-batches, not approximations."""
+    ev = events_from_table(spark, sf_dir)
+    src = _fresh_dir("linseg")
+    write_event_chunks(ev, src, n_chunks=4)
+    t = LakeTable.create(spark, _fresh_dir("lintbl"), TRANSCRIPT_SCHEMA, num_buckets=16)
+    job = CdcIngestJob(
+        spark,
+        t.path,
+        src,
+        _fresh_dir("linckpt"),
+        IngestConfig(max_files_per_trigger=1),
+    )
+    job.run_available_now()
+    agg: dict[int, list[int]] = {}
+    for snap in LakeTable.load(spark, t.path).history():
+        for p in snap.get("lineage") or []:
+            sp = p["source_partition"]
+            cur = agg.setdefault(sp, [0, p["min_lsn"], p["max_lsn"]])
+            cur[0] += p["events"]
+            cur[1] = min(cur[1], p["min_lsn"])
+            cur[2] = max(cur[2], p["max_lsn"])
+    rows = [
+        (int(sp), int(c), int(lo), int(hi))
+        for sp, (c, lo, hi) in sorted(agg.items())
+    ]
+    return spark.createDataFrame(
+        rows, "source_partition int, events bigint, min_lsn bigint, max_lsn bigint"
+    )
+
+
 def q_stateful_sequence_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState,
     `streaming/stateful.py`): per-conversation sequence monitor — state
@@ -786,6 +824,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_evolution_final_state": q_json_evolution_final_state,
         "cdc_final_state_incremental": q_cdc_final_state_incremental,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
+        "lineage_accounting": q_lineage_accounting,
         "stateful_sequence_monitor": q_stateful_sequence_monitor,
         "event_time_rollup": q_event_time_rollup,
         "raw_table_dedup": q_raw_table_dedup,
@@ -860,6 +899,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_final_state_incremental": _ORACLE_FINAL,
         "cdc_stream_tail_final_state": _ORACLE_FINAL,
+        # snapshot-persisted lineage folded across micro-batches must be
+        # EXACT event accounting, not an estimate
+        "lineage_accounting": f"""
+            WITH ev AS ({ev})
+            SELECT source_partition,
+                   count(*) AS events,
+                   min(lsn) AS min_lsn,
+                   max(lsn) AS max_lsn
+            FROM ev
+            GROUP BY source_partition
+        """,
         "event_time_rollup": f"""
 WITH ev AS ({DERIVATION_SQL})
 SELECT epoch_us(time_bucket(INTERVAL '1 hour', _ab_cdc_updated_at)) AS ws_us,

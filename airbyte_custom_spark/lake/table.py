@@ -354,6 +354,9 @@ class LakeTable:
                             for st in ref["by_bucket"].values()
                         ),
                         "applied": s.get("applied", {}),
+                        # A1: per-source-partition lineage of THIS commit
+                        # (merge commits only; empty for compact/evolve/gc)
+                        "lineage": s.get("lineage", []),
                     }
                 )
         return sorted(out, key=lambda s: s["version"])
