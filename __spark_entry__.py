@@ -679,6 +679,31 @@ def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: connected components over the
+    exact 3-gram-Jaccard ≥ 0.9 pair set (same derivation as
+    ``dedup_ngram_jaccard``), labels = min doc_id per component via
+    hash-to-min + pointer-jump shortcut (O(log d) rounds, scalar-only
+    shuffles).  ``is_canonical`` marks the one doc to KEEP per cluster —
+    "dedup the corpus" is then a semi-join filter.  The DuckDB oracle
+    computes the same closure with a recursive CTE, so the clustering is
+    value-checked end to end, not rows-only."""
+    from airbyte_custom_spark.functions.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _docs_with_planted_dups(spark, sf_dir), threshold=0.9, max_shingle_freq=10_000
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, full oracle: signatures are built from the
     portable h31 token hash + shared affine constants (bit-identical in
@@ -844,6 +869,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
+        "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_ann": q_embedding_lsh_ann,
@@ -1054,6 +1080,7 @@ GROUP BY conv_id
         """,
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(0.9),
         "dedup_ngram_jaccard_capped": _ngram_jaccard_capped_oracle(0.5, 3),
+        "dedup_components": _dedup_components_oracle(0.9),
         "doc_quality_lang": _quality_lang_oracle_sql(),
         "doc_fingerprints": _fingerprint_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
@@ -1139,11 +1166,9 @@ def _ngram_jaccard_capped_oracle(threshold: float, cap: int) -> str:
         """
 
 
-def _ngram_jaccard_oracle(threshold: float) -> str:
-    """Exhaustive all-pairs 3-gram jaccard ≥ threshold over the planted-dup
-    corpus — the oracle for BOTH dedup_ngram_jaccard and dedup_minhash_lsh
-    (the LSH output is exhaustive at its threshold; see q_dedup_minhash_lsh)."""
-    return _DUP_DOCS_SQL + rf"""
+# the shared all-pairs 3-gram jaccard CTE chain (tok→sh→szd→inv→shared→jac),
+# appended to _DUP_DOCS_SQL by the ngram-jaccard and components oracles
+_NGRAM_JAC_CTES = r"""
             , tok AS (
               SELECT doc_id,
                      list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
@@ -1173,8 +1198,50 @@ def _ngram_jaccard_oracle(threshold: float) -> str:
                      round(cnt * 1.0 / (n_a + n_b - cnt), 6) AS jaccard
               FROM shared
             )
-            SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
+"""
+
+
+def _ngram_jaccard_oracle(threshold: float) -> str:
+    """Exhaustive all-pairs 3-gram jaccard ≥ threshold over the planted-dup
+    corpus — the oracle for BOTH dedup_ngram_jaccard and dedup_minhash_lsh
+    (the LSH output is exhaustive at its threshold; see q_dedup_minhash_lsh)."""
+    return (
+        _DUP_DOCS_SQL
+        + _NGRAM_JAC_CTES
+        + f"SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}"
+    )
+
+
+def _dedup_components_oracle(threshold: float) -> str:
+    """DuckDB twin of q_dedup_components: the SAME pair derivation as
+    _ngram_jaccard_oracle, then the transitive closure via a recursive CTE
+    (walk enumerates every (node, reachable-node) pair over the symmetrized
+    edge set; UNION dedups so it terminates) — component = min reachable id,
+    exactly what hash-to-min converges to on the Spark side."""
+    # the recursive member forces RECURSIVE on the whole WITH chain
+    docs = _DUP_DOCS_SQL.replace("WITH all_docs", "WITH RECURSIVE all_docs", 1)
+    return (
+        docs
+        + _NGRAM_JAC_CTES
+        + f"""
+            , pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {threshold}),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL
+              SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT u AS id FROM edges),
+            walk(id, comp) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+            )
+            SELECT id AS doc_id,
+                   min(comp) AS component_id,
+                   (id = min(comp)) AS is_canonical
+            FROM walk GROUP BY id
         """
+    )
 
 
 # whitespace tokens, empties removed — the DuckDB twin of functions.text.tokens

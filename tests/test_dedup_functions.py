@@ -113,3 +113,44 @@ def test_dedup_on_documents_table(spark, sf_dir):
     found = {(r["id_a"], r["id_b"]) for r in mh.collect()}
     for r in dup.select("doc_id").collect():
         assert (r["doc_id"] - 1_000_000, r["doc_id"]) in found
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+
+def _cc(spark, pairs, **kw):
+    from airbyte_custom_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    return {
+        (r["id"], r["component"]) for r in connected_components(edges, **kw).collect()
+    }
+
+
+def test_components_star_and_disjoint(spark):
+    # star {1,2,3,4} + pair {10,11}; node 99 untouched by any pair is absent
+    got = _cc(spark, [(1, 2), (1, 3), (1, 4), (10, 11)])
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_components_path_needs_multiple_rounds(spark):
+    # a 16-node path is the adversarial case for naive one-hop propagation;
+    # pointer jumping must converge well inside the iteration cap
+    path = [(i, i + 1) for i in range(16)]
+    got = _cc(spark, path)
+    assert got == {(i, 0) for i in range(17)}
+
+
+def test_components_min_id_not_first_seen(spark):
+    # min id arrives "late" in edge order; label must still be the min
+    got = _cc(spark, [(7, 9), (9, 3), (3, 5)])
+    assert got == {(3, 3), (5, 3), (7, 3), (9, 3)}
+
+
+def test_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        _cc(spark, [(i, i + 1) for i in range(40)], max_iter=1)
