@@ -444,6 +444,63 @@ def q_json_evolution_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_rename_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Renamed-column schema evolution end-to-end (north rule: "added/
+    RENAMED columns, type widening"): phase 1 ingests JSON envelopes whose
+    payload key is `tool`; mid-stream the table is soft-reset with
+    ``rename_map={"tool": "tool_name"}`` (T8 incompatible-change rebuild,
+    `BigQuerySqlGenerator.java:322-335` — data preserved, column renamed);
+    phase 2's envelopes already carry `tool_name` and keep merging into
+    the renamed column.  The final state must equal the oracle's plain
+    latest-per-key replay with `tool AS tool_name` — proving no value was
+    lost across the rename and both phases land in ONE column."""
+    import pyspark.sql.types as T
+
+    from airbyte_custom_spark.sources.generator import json_envelope
+    from airbyte_custom_spark.streaming.pipeline import JsonCdcIngestJob
+
+    ev = events_from_table(spark, sf_dir)
+    b = ev.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).first()
+    mid = (int(b["lo"]) + int(b["hi"])) // 2
+
+    src1, src2 = _fresh_dir("renwal1"), _fresh_dir("renwal2")
+    write_event_chunks(json_envelope(ev.filter(F.col("lsn") <= mid)), src1, n_chunks=2)
+    write_event_chunks(
+        json_envelope(
+            ev.filter(F.col("lsn") > mid).withColumnRenamed("tool", "tool_name")
+        ),
+        src2,
+        n_chunks=2,
+    )
+
+    t = LakeTable.create(spark, _fresh_dir("rentbl"), TRANSCRIPT_SCHEMA, num_buckets=16)
+    JsonCdcIngestJob(
+        spark, t.path, src1, _fresh_dir("renck1"), IngestConfig(max_files_per_trigger=2)
+    ).run_available_now()
+
+    renamed = T.StructType(
+        [
+            T.StructField("tool_name" if f.name == "tool" else f.name, f.dataType, True)
+            for f in TRANSCRIPT_SCHEMA.fields
+        ]
+    )
+    LakeTable.load(spark, t.path).soft_reset(renamed, rename_map={"tool": "tool_name"})
+
+    JsonCdcIngestJob(
+        spark, t.path, src2, _fresh_dir("renck2"), IngestConfig(max_files_per_trigger=2)
+    ).run_available_now()
+
+    final = LakeTable.load(spark, t.path).read()
+    return final.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.col("tool_name").cast("string").alias("tool_name"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
 def q_raw_table_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 end-to-end through the raw/final two-table path: append every
     event version to an append-only raw table, dedupRawTable it, read the
@@ -847,6 +904,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_nested_final_state": q_json_nested_final_state,
         "json_raw_retype_final_state": q_json_raw_retype_final_state,
         "json_evolution_final_state": q_json_evolution_final_state,
+        "schema_rename_final_state": q_schema_rename_final_state,
         "cdc_final_state_incremental": q_cdc_final_state_incremental,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
         "lineage_accounting": q_lineage_accounting,
@@ -984,6 +1042,21 @@ GROUP BY conv_id
                         THEN CAST(lsn % 100 AS DOUBLE) + 0.25 END AS score,
                    CASE WHEN lsn > (SELECT mid FROM b)
                         THEN 'r' || CAST(lsn % 4 AS STRING) END AS reaction
+            FROM ranked WHERE rn = 1 AND op <> 'd'
+        """,
+        # rename is a pure relabeling: the replay is the plain final state
+        # with tool surfaced under its post-rename name — any value lost
+        # (or duplicated into two columns) across the soft-reset would
+        # hash-mismatch
+        "schema_rename_final_state": f"""
+            WITH ev AS ({ev}),
+            ranked AS (
+              SELECT ev.*, row_number() OVER (
+                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+              FROM ev
+            )
+            SELECT conv_id, turn_idx, role, text, tool AS tool_name,
+                   epoch_us(ts) AS ts_us
             FROM ranked WHERE rn = 1 AND op <> 'd'
         """,
         # the raw/final path must converge to the same replayed state
