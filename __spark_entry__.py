@@ -444,6 +444,57 @@ def q_json_evolution_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_widening_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream type WIDENING end-to-end (north rule: "type widening"):
+    payload column `score` carries integers up to the LSN midpoint (typed
+    LONG on first contact) and decimals after it — with NO new key to
+    trigger re-inference.  The exact widen probes (fused into the stats
+    aggregation, `widen_probe_expr`) must detect the change on the rows
+    themselves, widen the column to DOUBLE in place (E1/E2,
+    `AirbyteType.java:16` type promotion), and land every decimal —
+    early integer rows read back as exact doubles.  The oracle replays
+    the same CASE with the winning event per key; any value nulled into
+    a cast error (the pre-fix behavior) hash-mismatches."""
+    from airbyte_custom_spark.sources.generator import json_envelope
+    from airbyte_custom_spark.streaming.pipeline import JsonCdcIngestJob
+
+    ev = events_from_table(spark, sf_dir)
+    b = ev.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).first()
+    mid = (int(b["lo"]) + int(b["hi"])) // 2
+    live = F.col("op") != "d"
+    late = (F.col("lsn") > F.lit(mid)) & live
+    scored = ev.select(
+        "*",
+        F.when(late, (F.col("lsn") % 50).cast("double") + 0.5)
+        .when(live, (F.col("lsn") % 50).cast("long").cast("double"))
+        .alias("score"),
+    )
+    # to_json renders whole doubles as "3.0" — longs must serialize as
+    # integer literals for phase 1 to type as LONG, so build the envelope
+    # from the typed split halves
+    early_env = json_envelope(
+        scored.filter(F.col("lsn") <= mid).withColumn(
+            "score", F.col("score").cast("long")
+        )
+    )
+    late_env = json_envelope(scored.filter(F.col("lsn") > mid))
+    src = _fresh_dir("widewal")
+    write_event_chunks(early_env, src + "-a", n_chunks=2)
+    write_event_chunks(late_env, src + "-b", n_chunks=2)
+    t = LakeTable.create(spark, _fresh_dir("widetbl"), TRANSCRIPT_SCHEMA, num_buckets=16)
+    for i, s in enumerate((src + "-a", src + "-b")):
+        JsonCdcIngestJob(
+            spark, t.path, s, _fresh_dir(f"wideck{i}"), IngestConfig(max_files_per_trigger=1)
+        ).run_available_now()
+    final = LakeTable.load(spark, t.path).read()
+    return final.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.col("score").cast("double").alias("score"),
+    )
+
+
 def q_schema_rename_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Renamed-column schema evolution end-to-end (north rule: "added/
     RENAMED columns, type widening"): phase 1 ingests JSON envelopes whose
@@ -904,6 +955,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_nested_final_state": q_json_nested_final_state,
         "json_raw_retype_final_state": q_json_raw_retype_final_state,
         "json_evolution_final_state": q_json_evolution_final_state,
+        "json_widening_final_state": q_json_widening_final_state,
         "schema_rename_final_state": q_schema_rename_final_state,
         "cdc_final_state_incremental": q_cdc_final_state_incremental,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
@@ -1042,6 +1094,26 @@ GROUP BY conv_id
                         THEN CAST(lsn % 100 AS DOUBLE) + 0.25 END AS score,
                    CASE WHEN lsn > (SELECT mid FROM b)
                         THEN 'r' || CAST(lsn % 4 AS STRING) END AS reaction
+            FROM ranked WHERE rn = 1 AND op <> 'd'
+        """,
+        # the replay computes the winning event's score under the WIDENED
+        # type for every row — early integer phases must read back as
+        # exact doubles, late decimals must survive untouched
+        "json_widening_final_state": f"""
+            WITH ev AS ({ev}),
+            b AS (
+              SELECT CAST(floor((min(lsn) + max(lsn)) / 2.0) AS BIGINT) AS mid
+              FROM ev
+            ),
+            ranked AS (
+              SELECT ev.*, row_number() OVER (
+                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+              FROM ev
+            )
+            SELECT conv_id, turn_idx, text,
+                   CASE WHEN lsn > (SELECT mid FROM b)
+                        THEN CAST(lsn % 50 AS DOUBLE) + 0.5
+                        ELSE CAST(lsn % 50 AS DOUBLE) END AS score
             FROM ranked WHERE rn = 1 AND op <> 'd'
         """,
         # rename is a pure relabeling: the replay is the plain final state

@@ -148,14 +148,74 @@ def payload_keys(df: DataFrame, json_col: str) -> list[str]:
 
 TAG_SEP = "\x1f"
 
+# widen-tag namespace: "\x00" can never be a struct column name (normalized
+# names are [a-z0-9_]), so decode can route these unambiguously
+WIDEN_PREFIX = "\x00widen"
 
-def tagged_key_expr(json_col: str, struct_cols: list[str] | None = None) -> F.Column:
+
+def widen_probes_for(payload: T.StructType, raw_of: dict[str, str]) -> list[tuple]:
+    """(raw_key, column, current_typeName) probe list for every top-level
+    payload column whose committed type can widen from observed VALUES —
+    integer (→long/→double) and long (→double)."""
+    probes = []
+    for f in payload.fields:
+        if f.dataType.typeName() in ("integer", "long"):
+            probes.append((raw_of.get(f.name, f.name), f.name, f.dataType.typeName()))
+    return probes
+
+
+def widen_probe_expr(json_col: str, probes: list[tuple]) -> F.Column | None:
+    """Per-row array of EXACT widen tags — rides the same aggregation as
+    ``tagged_key_expr`` (round-4: the widen analog of exact key discovery).
+    For each committed integer/long payload column, a row whose raw value
+    fails the committed type's ``try_cast`` but parses as a wider numeric
+    emits ``"\\x00widen<SEP><col><SEP><wider>"`` — so a mid-stream
+    long→double value change is DETECTED on every row, not sampled, and
+    the column widens in place (E1/E2, is_widening) before extraction
+    would have nulled the value into a cast error.  Values that parse as
+    NOTHING numeric stay per-row cast errors (P4): garbage must not erode
+    a committed numeric type into string.
+
+    Cost: a handful of try_casts per numeric column inside the already-
+    running stats pass — pure JVM, no extra job, empty array on the
+    (overwhelmingly common) rows that fit their committed type."""
+    if not probes:
+        return None
+    _map = T.MapType(T.StringType(), T.StringType())
+    pmap = F.from_json(F.col(json_col), _map)
+    tags = []
+    for raw, col, tname in probes:
+        v = pmap.getItem(raw)
+        as_long = v.try_cast("long")
+        as_double = v.try_cast("double")
+        if tname == "integer":
+            tags.append(
+                F.when(
+                    v.isNotNull() & v.try_cast("int").isNull() & as_long.isNotNull(),
+                    F.lit(col + TAG_SEP + "long"),
+                )
+            )
+        tags.append(
+            F.when(
+                v.isNotNull() & as_long.isNull() & as_double.isNotNull(),
+                F.lit(col + TAG_SEP + "double"),
+            )
+        )
+    return F.filter(F.array(*tags), lambda x: x.isNotNull())
+
+
+def tagged_key_expr(
+    json_col: str,
+    struct_cols: list[str] | None = None,
+    widen_probes: list[tuple] | None = None,
+) -> F.Column:
     """Per-row array of discovery tags — the NON-collecting form of
     ``discover_payload_keys``, designed to ride an existing aggregation:
     top-level payload keys as ``"\\x1f<key>"``, second-level keys of the
-    named struct columns as ``"<col>\\x1f<key>"``.  Attach as a column,
-    fold with ``array_distinct(flatten(collect_set(...)))`` inside the
-    stats agg, and the batch's exact key set costs ZERO extra jobs
+    named struct columns as ``"<col>\\x1f<key>"``, plus exact widen tags
+    (``widen_probe_expr``) for committed numeric columns.  Attach as a
+    column, fold with ``array_distinct(flatten(collect_set(...)))`` inside
+    the stats agg, and the batch's exact key set costs ZERO extra jobs
     (partial aggregation folds per-group key-set combos map-side)."""
     _map = T.MapType(T.StringType(), T.StringType())
     empty = F.array().cast("array<string>")
@@ -170,32 +230,48 @@ def tagged_key_expr(json_col: str, struct_cols: list[str] | None = None) -> F.Co
     for c in struct_cols or []:
         sub = F.map_keys(F.from_json(pmap.getItem(c), _map))
         parts.append(F.coalesce(F.transform(sub, _tagger(c)), empty))
+    w = widen_probe_expr(json_col, widen_probes or [])
+    if w is not None:
+        parts.append(F.coalesce(F.transform(w, _tagger(WIDEN_PREFIX)), empty))
     return F.concat(*parts) if len(parts) > 1 else parts[0]
 
 
-def decode_discovery_tags(tags: list[str]) -> tuple[list[str], dict[str, list[str]]]:
+def decode_discovery_tags(
+    tags: list[str],
+) -> tuple[list[str], dict[str, list[str]], dict[str, str]]:
     """Inverse of ``tagged_key_expr``: tag list → (top-level keys,
-    {struct col → subkeys})."""
+    {struct col → subkeys}, {column → widest observed widen target})."""
     top: list[str] = []
     nested: dict[str, list[str]] = {}
+    widen: dict[str, str] = {}
     for t in tags:
         c, k = t.split(TAG_SEP, 1)
-        if c == "":
+        if c == WIDEN_PREFIX:
+            col, target = k.split(TAG_SEP, 1)
+            # double subsumes long when a batch carries both
+            if widen.get(col) != "double":
+                widen[col] = target
+        elif c == "":
             top.append(k)
         else:
             nested.setdefault(c, []).append(k)
-    return sorted(set(top)), {c: sorted(set(ks)) for c, ks in nested.items()}
+    return sorted(set(top)), {c: sorted(set(ks)) for c, ks in nested.items()}, widen
 
 
 def discover_payload_keys(
-    df: DataFrame, json_col: str, struct_cols: list[str] | None = None
-) -> tuple[list[str], dict[str, list[str]]]:
+    df: DataFrame,
+    json_col: str,
+    struct_cols: list[str] | None = None,
+    widen_probes: list[tuple] | None = None,
+) -> tuple[list[str], dict[str, list[str]], dict[str, str]]:
     """Exact key discovery, fused: ONE distributed aggregate returns the
     batch's top-level payload key set AND, for each named struct-typed
     column, its exact second-level key set (nested values arrive as raw
     JSON text in the string map, so they re-parse as a map one level
-    down).  Tagged (column, key) pairs union through a single
-    explode→distinct — still only distinct strings cross the exchange.
+    down) AND, for committed numeric columns, the exact widen demands
+    (``widen_probe_expr``).  Tagged (column, key) pairs union through a
+    single explode→distinct — still only distinct strings cross the
+    exchange.
 
     Depth covered exactly: 2 (top-level always, subkeys of known struct
     columns).  Deeper levels type/extend via the bounded driver sample —
@@ -213,6 +289,9 @@ def discover_payload_keys(
                 F.map_keys(F.from_json(pmap.getItem(c), _map)).alias("ks"),
             )
         )
+    w = widen_probe_expr(json_col, widen_probes or [])
+    if w is not None:
+        entries.append(F.struct(F.lit(WIDEN_PREFIX).alias("c"), w.alias("ks")))
     rows = (
         df.select(F.explode(F.array(*entries)).alias("e"))
         .select(F.col("e.c").alias("c"), F.explode(F.col("e.ks")).alias("k"))
@@ -221,12 +300,17 @@ def discover_payload_keys(
     )
     top: list[str] = []
     nested: dict[str, list[str]] = {}
+    widen: dict[str, str] = {}
     for r in rows:
-        if r["c"] == "":
+        if r["c"] == WIDEN_PREFIX:
+            col, target = r["k"].split(TAG_SEP, 1)
+            if widen.get(col) != "double":
+                widen[col] = target
+        elif r["c"] == "":
             top.append(r["k"])
         else:
             nested.setdefault(r["c"], []).append(r["k"])
-    return sorted(top), {c: sorted(ks) for c, ks in nested.items()}
+    return sorted(top), {c: sorted(ks) for c, ks in nested.items()}, widen
 
 
 def _infer_value_type(values: list) -> T.DataType:

@@ -529,16 +529,22 @@ def infer_evolve_extract(
     instead FUSES the discovery into the batch's stats aggregation
     (`attach_discovery` + `evolve_from_tags`) — one fewer payload parse
     per batch."""
-    from airbyte_custom_spark.operators.schema_evo import discover_payload_keys
+    from airbyte_custom_spark.operators.schema_evo import (
+        discover_payload_keys,
+        widen_probes_for,
+    )
     from airbyte_custom_spark.operators.typed import extract_payload
 
     key_map = table.payload_key_map
     raw_of = {col: raw for raw, col in key_map.items()}
-    keys, nested_keys_raw = discover_payload_keys(
-        events, payload_col, [raw_of.get(c, c) for c in _struct_cols(table)]
+    keys, nested_keys_raw, widen = discover_payload_keys(
+        events,
+        payload_col,
+        [raw_of.get(c, c) for c in _struct_cols(table)],
+        widen_probes_for(_payload_target(table), raw_of),
     )
     full_map = _resolve_and_evolve(
-        table, keys, nested_keys_raw, events, payload_col
+        table, keys, nested_keys_raw, events, payload_col, widen=widen
     )
     target = _payload_target(table)
     return extract_payload(events, target, payload_col, key_map=full_map)
@@ -572,7 +578,10 @@ def attach_discovery(
     `evolve_from_tags` rebuilds the extraction only when something new
     actually appeared.  Two payload parses per batch total (stats+keys,
     merge) instead of three."""
-    from airbyte_custom_spark.operators.schema_evo import tagged_key_expr
+    from airbyte_custom_spark.operators.schema_evo import (
+        tagged_key_expr,
+        widen_probes_for,
+    )
     from airbyte_custom_spark.operators.typed import extract_payload
 
     key_map = table.payload_key_map
@@ -580,7 +589,9 @@ def attach_discovery(
     with_tags = events.withColumn(
         "_acs_keys",
         tagged_key_expr(
-            payload_col, [raw_of.get(c, c) for c in _struct_cols(table)]
+            payload_col,
+            [raw_of.get(c, c) for c in _struct_cols(table)],
+            widen_probes_for(_payload_target(table), raw_of),
         ),
     )
     # extract_payload passes non-target columns through — _acs_keys rides
@@ -602,10 +613,10 @@ def evolve_from_tags(
     from airbyte_custom_spark.operators.schema_evo import decode_discovery_tags
     from airbyte_custom_spark.operators.typed import extract_payload
 
-    keys, nested_keys_raw = decode_discovery_tags(tags)
+    keys, nested_keys_raw, widen = decode_discovery_tags(tags)
     v0 = table.version
     full_map = _resolve_and_evolve(
-        table, keys, nested_keys_raw, raw_events, payload_col
+        table, keys, nested_keys_raw, raw_events, payload_col, widen=widen
     )
     if table.version == v0:
         return None
@@ -620,12 +631,20 @@ def _resolve_and_evolve(
     nested_keys_raw: dict[str, list[str]],
     events: DataFrame,
     payload_col: str,
+    widen: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """Normalization + nested-aware inference + in-place evolution, given
     an already-discovered EXACT key set.  Returns the full raw→column
     map.  The driver sample runs ONLY when something new appeared
     (round-3 fix lineage: the key SET is exact — a column or nested
-    subkey first appearing past any sample can never lose values)."""
+    subkey first appearing past any sample can never lose values).
+
+    ``widen`` carries the batch's EXACT value-driven widen demands
+    ({column → "long"|"double"}, from ``widen_probe_expr``): a committed
+    integer/long column whose incoming values outgrow it widens in place
+    BEFORE extraction (E1/E2), so a mid-stream long→double value change
+    never nulls a value into a cast error — detected on every row, not
+    sampled."""
     from pyspark.sql import types as T
 
     from airbyte_custom_spark.operators.schema_evo import (
@@ -633,7 +652,22 @@ def _resolve_and_evolve(
         infer_payload_schema,
     )
     from airbyte_custom_spark.operators.typed import extract_payload, normalize_name
-    from airbyte_custom_spark.schema import merge_nested
+    from airbyte_custom_spark.schema import is_widening, merge_nested
+
+    if widen:
+        _WIDE = {"long": T.LongType(), "double": T.DoubleType()}
+        cur = _payload_target(table)
+        widened = T.StructType(
+            [
+                T.StructField(f.name, _WIDE[widen[f.name]], f.nullable)
+                if f.name in widen
+                and is_widening(f.dataType, _WIDE[widen[f.name]])
+                else f
+                for f in cur.fields
+            ]
+        )
+        if widened != cur:
+            evolve_table_for(table, widened)
 
     existing = set(table.payload_columns)
     cur_fields = {
@@ -1077,9 +1111,9 @@ class JsonGlobalStateIngestJob(GlobalStateIngestJob):
         )
         from airbyte_custom_spark.operators.typed import extract_payload
 
-        keys, nested_keys_raw = decode_discovery_tags(tags)
+        keys, nested_keys_raw, widen = decode_discovery_tags(tags)
         full_map = _resolve_and_evolve(
-            table, keys, nested_keys_raw, part, self.payload_col
+            table, keys, nested_keys_raw, part, self.payload_col, widen=widen
         )
         return extract_payload(
             part, _payload_target(table), self.payload_col, key_map=full_map
@@ -1090,7 +1124,10 @@ class JsonGlobalStateIngestJob(GlobalStateIngestJob):
         branch tags its OWN table's struct columns (schemas evolve
         independently).  CaseWhen evaluates only the matching branch per
         row, so each row's payload parses once."""
-        from airbyte_custom_spark.operators.schema_evo import tagged_key_expr
+        from airbyte_custom_spark.operators.schema_evo import (
+            tagged_key_expr,
+            widen_probes_for,
+        )
 
         out = None
         for stream, (table, _qid) in sorted(pending.items()):
@@ -1099,6 +1136,7 @@ class JsonGlobalStateIngestJob(GlobalStateIngestJob):
             expr = tagged_key_expr(
                 self.payload_col,
                 [raw_of.get(c, c) for c in _struct_cols(table)],
+                widen_probes_for(_payload_target(table), raw_of),
             )
             cond = F.col(self.stream_col) == stream
             out = F.when(cond, expr) if out is None else out.when(cond, expr)

@@ -332,12 +332,23 @@ def test_discover_payload_keys_fused(spark):
         [('{"a": 1, "m": {"x": 1}}',), ('{"b": 2, "m": {"y": [1]}, "n": {"z": 0}}',)],
         "payload string",
     )
-    top, nested = discover_payload_keys(df, "payload", ["m", "n"])
+    top, nested, widen = discover_payload_keys(df, "payload", ["m", "n"])
     assert top == ["a", "b", "m", "n"]
     assert nested == {"m": ["x", "y"], "n": ["z"]}
+    assert widen == {}
     # struct column absent from a row / non-object value: no phantom keys
-    top2, nested2 = discover_payload_keys(df, "payload", ["a"])
+    top2, nested2, _ = discover_payload_keys(df, "payload", ["a"])
     assert nested2 == {}
+    # exact widen demands ride the same aggregate: a long-committed column
+    # seeing a decimal value demands double; int seeing past-int32 demands
+    # long; garbage demands NOTHING (stays a per-row cast error)
+    df2 = spark.createDataFrame(
+        [('{"a": 1.5, "b": 4000000000, "c": "zzz"}',), ('{"a": 2}',)],
+        "payload string",
+    )
+    probes = [("a", "a", "long"), ("b", "b", "integer"), ("c", "c", "long")]
+    _, _, widen2 = discover_payload_keys(df2, "payload", widen_probes=probes)
+    assert widen2 == {"a": "double", "b": "long"}
 
 
 def test_json_ingest_raw_retention_crash_replay_and_retype(spark, tmp_path, monkeypatch):
@@ -617,3 +628,76 @@ def test_all_null_nested_subkey_defers_until_evidence(spark, tmp_path):
                             r["meta"]["b"] if r["meta"] else None)
             for r in t.read().collect()}
     assert vals == {0: (1, None), 1: (2, None), 2: (None, 5)}, vals
+
+
+def test_json_ingest_widens_numeric_mid_stream(spark, tmp_path):
+    """Exact value-driven widening (round 4): a payload column committed
+    as LONG from batch 1's integer values later receives decimals — with
+    NO new key in that batch to trigger re-inference.  The widen probes
+    (fused into the stats agg) must detect it on every row, widen the
+    column to DOUBLE in place (E1/E2), and land the decimal values —
+    previously the try_cast to long silently nulled them into cast
+    errors.  Early integer rows read back as exact doubles."""
+    base = change_events(spark, 1200, n_convs=80, max_turns=10, p_delete=0.0)
+    first = base.filter("lsn <= 600").withColumn(
+        "score", (F.col("lsn") % 50).cast("long")
+    )
+    second = base.filter("lsn > 600").withColumn(
+        "score", (F.col("lsn") % 50).cast("double") + 0.25
+    )
+    src1, src2 = str(tmp_path / "wal1"), str(tmp_path / "wal2")
+    write_event_chunks(json_envelope(first), src1, n_chunks=2)
+    write_event_chunks(json_envelope(second), src2, n_chunks=2)
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    for i, src in enumerate((src1, src2)):
+        JsonCdcIngestJob(
+            spark, t.path, src, str(tmp_path / f"ckpt{i}"), IngestConfig()
+        ).run_available_now()
+
+    final = LakeTable.load(spark, t.path)
+    schema = {f.name: f.dataType.typeName() for f in final.schema().fields}
+    assert schema["score"] == "double"
+    rows = final.read(include_meta=True).collect()
+    # every surviving row has a score; phase-2 rows carry the exact .25
+    assert all(r["score"] is not None for r in rows)
+    late = [r for r in rows if r["score"] != int(r["score"])]
+    assert late, "no decimal score survived — widening lost the values"
+    # NOTHING was captured as a cast error on score
+    for r in rows:
+        errs = r["_meta"]["errors"] if r["_meta"] is not None else None
+        assert not errs, f"cast errors leaked through widening: {errs}"
+
+
+def test_json_ingest_garbage_does_not_erode_numeric_type(spark, tmp_path):
+    """The flip side of exact widening: a NON-numeric garbage value in a
+    committed long column must NOT widen anything — it stays a per-row
+    cast error (P4) and the column keeps its type."""
+    base = change_events(spark, 400, n_convs=30, max_turns=6, p_delete=0.0)
+    first = base.withColumn("score", (F.col("lsn") % 9).cast("long"))
+    src1 = str(tmp_path / "wal1")
+    write_event_chunks(json_envelope(first), src1, n_chunks=1)
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    JsonCdcIngestJob(
+        spark, t.path, src1, str(tmp_path / "ck1"), IngestConfig()
+    ).run_available_now()
+
+    bad = (
+        base.filter("lsn <= 5")
+        .withColumn("lsn", F.col("lsn") + 1_000_000)
+        .withColumn("score", F.lit("not-a-number"))
+    )
+    src2 = str(tmp_path / "wal2")
+    write_event_chunks(json_envelope(bad), src2, n_chunks=1)
+    JsonCdcIngestJob(
+        spark, t.path, src2, str(tmp_path / "ck2"), IngestConfig()
+    ).run_available_now()
+
+    final = LakeTable.load(spark, t.path)
+    schema = {f.name: f.dataType.typeName() for f in final.schema().fields}
+    assert schema["score"] == "long"  # garbage never erodes the type
+    errd = [
+        r
+        for r in final.read(include_meta=True).collect()
+        if r["_meta"] is not None and r["_meta"]["errors"]
+    ]
+    assert errd, "garbage value should surface as a captured cast error"
