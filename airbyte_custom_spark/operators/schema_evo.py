@@ -154,27 +154,44 @@ WIDEN_PREFIX = "\x00widen"
 
 
 def widen_probes_for(payload: T.StructType, raw_of: dict[str, str]) -> list[tuple]:
-    """(raw_key, column, current_typeName) probe list for every top-level
-    payload column whose committed type can widen from observed VALUES —
-    integer (→long/→double) and long (→double)."""
+    """(raw_key, subkey|None, path_key, current_typeName) probe list for
+    every payload column whose committed type can widen from observed
+    VALUES — integer (→long/→double) and long (→double).  Covers
+    top-level numeric columns (subkey None, path_key = column) AND
+    numeric subfields of struct-typed columns (subkey = the raw subfield
+    name inside the nested JSON object, path_key = column<SEP>subkey) —
+    the same depth-2 contract as exact key discovery."""
     probes = []
     for f in payload.fields:
+        raw = raw_of.get(f.name, f.name)
         if f.dataType.typeName() in ("integer", "long"):
-            probes.append((raw_of.get(f.name, f.name), f.name, f.dataType.typeName()))
+            probes.append((raw, None, f.name, f.dataType.typeName()))
+        elif isinstance(f.dataType, T.StructType):
+            for sub in f.dataType.fields:
+                if sub.dataType.typeName() in ("integer", "long"):
+                    probes.append(
+                        (
+                            raw,
+                            sub.name,
+                            f.name + TAG_SEP + sub.name,
+                            sub.dataType.typeName(),
+                        )
+                    )
     return probes
 
 
 def widen_probe_expr(json_col: str, probes: list[tuple]) -> F.Column | None:
     """Per-row array of EXACT widen tags — rides the same aggregation as
     ``tagged_key_expr`` (round-4: the widen analog of exact key discovery).
-    For each committed integer/long payload column, a row whose raw value
-    fails the committed type's ``try_cast`` but parses as a wider numeric
-    emits ``"\\x00widen<SEP><col><SEP><wider>"`` — so a mid-stream
-    long→double value change is DETECTED on every row, not sampled, and
-    the column widens in place (E1/E2, is_widening) before extraction
-    would have nulled the value into a cast error.  Values that parse as
-    NOTHING numeric stay per-row cast errors (P4): garbage must not erode
-    a committed numeric type into string.
+    For each committed integer/long payload column — top-level OR a
+    struct subfield (path_key carries ``col<SEP>sub``) — a row whose raw
+    value fails the committed type's ``try_cast`` but parses as a wider
+    numeric emits ``"\\x00widen<SEP><path_key><SEP><wider>"`` — so a
+    mid-stream long→double value change is DETECTED on every row, not
+    sampled, and the column widens in place (E1/E2, is_widening) before
+    extraction would have nulled the value into a cast error.  Values
+    that parse as NOTHING numeric stay per-row cast errors (P4): garbage
+    must not erode a committed numeric type into string.
 
     Cost: a handful of try_casts per numeric column inside the already-
     running stats pass — pure JVM, no extra job, empty array on the
@@ -184,21 +201,26 @@ def widen_probe_expr(json_col: str, probes: list[tuple]) -> F.Column | None:
     _map = T.MapType(T.StringType(), T.StringType())
     pmap = F.from_json(F.col(json_col), _map)
     tags = []
-    for raw, col, tname in probes:
-        v = pmap.getItem(raw)
+    for raw, sub, path, tname in probes:
+        if sub is None:
+            v = pmap.getItem(raw)
+        else:
+            # nested values arrive as raw JSON text in the string map —
+            # one more map-parse reaches the subfield value
+            v = F.from_json(pmap.getItem(raw), _map).getItem(sub)
         as_long = v.try_cast("long")
         as_double = v.try_cast("double")
         if tname == "integer":
             tags.append(
                 F.when(
                     v.isNotNull() & v.try_cast("int").isNull() & as_long.isNotNull(),
-                    F.lit(col + TAG_SEP + "long"),
+                    F.lit(path + TAG_SEP + "long"),
                 )
             )
         tags.append(
             F.when(
                 v.isNotNull() & as_long.isNull() & as_double.isNotNull(),
-                F.lit(col + TAG_SEP + "double"),
+                F.lit(path + TAG_SEP + "double"),
             )
         )
     return F.filter(F.array(*tags), lambda x: x.isNotNull())
@@ -240,17 +262,19 @@ def decode_discovery_tags(
     tags: list[str],
 ) -> tuple[list[str], dict[str, list[str]], dict[str, str]]:
     """Inverse of ``tagged_key_expr``: tag list → (top-level keys,
-    {struct col → subkeys}, {column → widest observed widen target})."""
+    {struct col → subkeys}, {path_key → widest observed widen target}).
+    A widen path_key is the column name, or ``col<SEP>sub`` for a struct
+    subfield."""
     top: list[str] = []
     nested: dict[str, list[str]] = {}
     widen: dict[str, str] = {}
     for t in tags:
         c, k = t.split(TAG_SEP, 1)
         if c == WIDEN_PREFIX:
-            col, target = k.split(TAG_SEP, 1)
+            path, target = k.rsplit(TAG_SEP, 1)
             # double subsumes long when a batch carries both
-            if widen.get(col) != "double":
-                widen[col] = target
+            if widen.get(path) != "double":
+                widen[path] = target
         elif c == "":
             top.append(k)
         else:
@@ -303,9 +327,9 @@ def discover_payload_keys(
     widen: dict[str, str] = {}
     for r in rows:
         if r["c"] == WIDEN_PREFIX:
-            col, target = r["k"].split(TAG_SEP, 1)
-            if widen.get(col) != "double":
-                widen[col] = target
+            path, target = r["k"].rsplit(TAG_SEP, 1)
+            if widen.get(path) != "double":
+                widen[path] = target
         elif r["c"] == "":
             top.append(r["k"])
         else:

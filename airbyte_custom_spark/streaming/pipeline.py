@@ -640,11 +640,12 @@ def _resolve_and_evolve(
     subkey first appearing past any sample can never lose values).
 
     ``widen`` carries the batch's EXACT value-driven widen demands
-    ({column → "long"|"double"}, from ``widen_probe_expr``): a committed
-    integer/long column whose incoming values outgrow it widens in place
-    BEFORE extraction (E1/E2), so a mid-stream long→double value change
-    never nulls a value into a cast error — detected on every row, not
-    sampled."""
+    ({path_key → "long"|"double"}, from ``widen_probe_expr``; path_key is
+    a column name or ``col<SEP>sub`` for a struct subfield): a committed
+    integer/long column — top-level or nested — whose incoming values
+    outgrow it widens in place BEFORE extraction (E1/E2), so a
+    mid-stream long→double value change never nulls a value into a cast
+    error — detected on every row, not sampled."""
     from pyspark.sql import types as T
 
     from airbyte_custom_spark.operators.schema_evo import (
@@ -655,17 +656,36 @@ def _resolve_and_evolve(
     from airbyte_custom_spark.schema import is_widening, merge_nested
 
     if widen:
+        from airbyte_custom_spark.operators.schema_evo import TAG_SEP
+
         _WIDE = {"long": T.LongType(), "double": T.DoubleType()}
+        tops: dict[str, T.DataType] = {}
+        subs: dict[str, dict[str, T.DataType]] = {}
+        for path, tgt in widen.items():
+            if TAG_SEP in path:
+                c, s = path.split(TAG_SEP, 1)
+                subs.setdefault(c, {})[s] = _WIDE[tgt]
+            else:
+                tops[path] = _WIDE[tgt]
+
+        def _widen_field(f: T.StructField) -> T.StructField:
+            if f.name in tops and is_widening(f.dataType, tops[f.name]):
+                return T.StructField(f.name, tops[f.name], f.nullable)
+            if f.name in subs and isinstance(f.dataType, T.StructType):
+                w = subs[f.name]
+                inner = T.StructType(
+                    [
+                        T.StructField(g.name, w[g.name], g.nullable)
+                        if g.name in w and is_widening(g.dataType, w[g.name])
+                        else g
+                        for g in f.dataType.fields
+                    ]
+                )
+                return T.StructField(f.name, inner, f.nullable)
+            return f
+
         cur = _payload_target(table)
-        widened = T.StructType(
-            [
-                T.StructField(f.name, _WIDE[widen[f.name]], f.nullable)
-                if f.name in widen
-                and is_widening(f.dataType, _WIDE[widen[f.name]])
-                else f
-                for f in cur.fields
-            ]
-        )
+        widened = T.StructType([_widen_field(f) for f in cur.fields])
         if widened != cur:
             evolve_table_for(table, widened)
 

@@ -346,9 +346,27 @@ def test_discover_payload_keys_fused(spark):
         [('{"a": 1.5, "b": 4000000000, "c": "zzz"}',), ('{"a": 2}',)],
         "payload string",
     )
-    probes = [("a", "a", "long"), ("b", "b", "integer"), ("c", "c", "long")]
+    probes = [
+        ("a", None, "a", "long"),
+        ("b", None, "b", "integer"),
+        ("c", None, "c", "long"),
+    ]
     _, _, widen2 = discover_payload_keys(df2, "payload", widen_probes=probes)
     assert widen2 == {"a": "double", "b": "long"}
+    # nested probes reach one level into struct-typed columns: path_key
+    # is col<SEP>sub, value parsed out of the nested JSON text
+    from airbyte_custom_spark.operators.schema_evo import TAG_SEP
+
+    df3 = spark.createDataFrame(
+        [('{"m": {"x": 2.5, "y": "junk"}}',), ('{"m": {"x": 1}}',)],
+        "payload string",
+    )
+    nprobes = [
+        ("m", "x", "m" + TAG_SEP + "x", "long"),
+        ("m", "y", "m" + TAG_SEP + "y", "long"),
+    ]
+    _, _, widen3 = discover_payload_keys(df3, "payload", widen_probes=nprobes)
+    assert widen3 == {"m" + TAG_SEP + "x": "double"}
 
 
 def test_json_ingest_raw_retention_crash_replay_and_retype(spark, tmp_path, monkeypatch):
@@ -666,6 +684,51 @@ def test_json_ingest_widens_numeric_mid_stream(spark, tmp_path):
     for r in rows:
         errs = r["_meta"]["errors"] if r["_meta"] is not None else None
         assert not errs, f"cast errors leaked through widening: {errs}"
+
+
+def test_json_ingest_widens_nested_struct_subfield_mid_stream(spark, tmp_path):
+    """Nested analog of exact widening: a struct column's LONG subfield
+    later receives decimals (no new key anywhere to trigger re-inference).
+    The depth-2 widen probes must detect it, widen the SUBFIELD to double
+    in place, and land every decimal — sibling subfields untouched."""
+    base = change_events(spark, 1000, n_convs=60, max_turns=8, p_delete=0.0)
+    first = base.filter("lsn <= 500").withColumn(
+        "meta",
+        F.struct(
+            (F.col("lsn") % 11).cast("long").alias("score"),
+            F.lit("a").alias("tag"),
+        ),
+    )
+    second = base.filter("lsn > 500").withColumn(
+        "meta",
+        F.struct(
+            ((F.col("lsn") % 11).cast("double") + 0.25).alias("score"),
+            F.lit("b").alias("tag"),
+        ),
+    )
+    src1, src2 = str(tmp_path / "wal1"), str(tmp_path / "wal2")
+    write_event_chunks(json_envelope(first), src1, n_chunks=2)
+    write_event_chunks(json_envelope(second), src2, n_chunks=2)
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, num_buckets=4)
+    for i, src in enumerate((src1, src2)):
+        JsonCdcIngestJob(
+            spark, t.path, src, str(tmp_path / f"ck{i}"), IngestConfig()
+        ).run_available_now()
+
+    final = LakeTable.load(spark, t.path)
+    meta_t = {
+        f.name: f.dataType for f in final.schema().fields if f.name == "meta"
+    }["meta"]
+    sub = {g.name: g.dataType.typeName() for g in meta_t.fields}
+    assert sub["score"] == "double", sub
+    assert sub["tag"] == "string", sub
+    rows = final.read(include_meta=True).collect()
+    assert all(r["meta"] is not None and r["meta"]["score"] is not None for r in rows)
+    assert any(r["meta"]["score"] != int(r["meta"]["score"]) for r in rows)
+    assert all(r["meta"]["tag"] in ("a", "b") for r in rows)
+    for r in rows:
+        errs = r["_meta"]["errors"] if r["_meta"] is not None else None
+        assert not errs, f"cast errors leaked through nested widening: {errs}"
 
 
 def test_json_ingest_garbage_does_not_erode_numeric_type(spark, tmp_path):
