@@ -812,6 +812,28 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MinHash+LSH over a persisted band index: the planted-dup
+    corpus splits deterministically into an already-indexed batch
+    (doc_id % 7 != 3) and a new batch (doc_id % 7 == 3); the index stores
+    only (id, band, bh); output = near-dup pairs TOUCHING the new batch at
+    jaccard ≥ 0.9.  Exhaustive at that threshold by the same
+    (1-0.9⁴)¹⁶ ≈ 4e-8 per-pair miss bound as ``dedup_minhash_lsh``, and
+    the exact-jaccard verify removes all false positives — so the oracle
+    is the exhaustive all-pairs jaccard scan filtered to pairs with a
+    new-batch member.  (10,000,000 % 7 == 3, so planted duplicates land
+    on the OTHER side of the split from their originals — the new×indexed
+    join path is what produces the pairs.)"""
+    from airbyte_custom_spark.functions.dedup import MinHashLshIndex
+
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 7 != 3)
+    new = docs.filter(F.col("doc_id") % 7 == 3)
+    idx = MinHashLshIndex.create(spark, _fresh_dir("lshidx"))
+    idx.add(old)
+    return idx.pairs_against(new, corpus_df=old, jaccard_threshold=0.9)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, full oracle: signatures are built from the
     portable h31 token hash + shared affine constants (bit-identical in
@@ -977,6 +999,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "dedup_components": q_dedup_components,
@@ -1233,6 +1256,12 @@ GROUP BY conv_id
         # q_dedup_minhash_lsh) — the oracle is the same all-pairs jaccard
         # scan the ngram query uses
         "dedup_minhash_lsh": _ngram_jaccard_oracle(0.9),
+        # incremental LSH emits exactly the pairs TOUCHING the new batch
+        # (doc_id % 7 == 3); exhaustive at 0.9 by the same band-miss bound
+        "dedup_incremental_lsh": (
+            _ngram_jaccard_oracle(0.9)
+            + " AND (id_a % 7 = 3 OR id_b % 7 = 3)"
+        ),
         "embedding_near_dups": _EMB_NEAR_DUP_ORACLE,
         "embedding_lsh_ann": _lsh_ann_oracle_sql(),
         "embedding_ivf_ann": _ivf_ann_oracle_sql(),

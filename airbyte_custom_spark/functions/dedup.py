@@ -93,6 +93,63 @@ def minhash_signature(
     return F.array(*sig)
 
 
+def _shingled(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """(_id, _sh) shingle-set frame — the shared front of every MinHash
+    path (empty-shingle docs can never near-dup, so they are dropped)."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(text_col, shingle_k).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+
+
+def _band_rows(
+    with_sh: DataFrame, num_hashes: int, bands: int, seed: int
+) -> DataFrame:
+    """(_id, band, bh) LSH band rows from a ``_shingled`` frame — the
+    candidate-generation relation, 3 scalars per row, all map-side JVM
+    expression math (one xxhash64 per shingle, H affine rehashes, banded
+    signature re-hash).  Shared by the one-shot ``minhash_lsh_candidates``
+    and the persisted ``MinHashLshIndex`` so band values are identical
+    across batches by construction."""
+    rows_per_band = num_hashes // bands
+    # signature from the shingles already computed (not from text twice)
+    base = F.transform(
+        F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+    )
+
+    def rehash(a: int, b: int):
+        return lambda h: F.pmod(a * h + b, F.lit(_MERSENNE))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(base, rehash(a, b)))
+            for a, b in _affine_params(num_hashes, seed)
+        ]
+    )
+    with_sig = with_sh.select("_id", sig.alias("_sig"))
+    return with_sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", F.transform(
+                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            )
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -115,46 +172,8 @@ def minhash_lsh_candidates(
     already-deduplicated candidate pairs (round-1 shipped the full shingle
     set through the explode and both join sides, replicating every
     document ×bands through the shuffle)."""
-    rows_per_band = num_hashes // bands
-    with_sh = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(text_col, shingle_k).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
-    # signature from the shingles already computed (not from text twice)
-    base = F.transform(
-        F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
-    )
-
-    def rehash(a: int, b: int):
-        return lambda h: F.pmod(a * h + b, F.lit(_MERSENNE))
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(base, rehash(a, b)))
-            for a, b in _affine_params(num_hashes, seed)
-        ]
-    )
-    with_sig = with_sh.select("_id", "_sh", sig.alias("_sig"))
-
-    banded = with_sig.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",", F.transform(
-                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            )
-                        )
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    with_sh = _shingled(df, id_col, text_col, shingle_k)
+    banded = _band_rows(with_sh, num_hashes, bands, seed)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -174,6 +193,186 @@ def minhash_lsh_candidates(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash+LSH (persisted band index)
+# ---------------------------------------------------------------------------
+
+
+class MinHashLshIndex:
+    """Persisted LSH band index for INCREMENTAL near-duplicate detection.
+
+    The 100-TB motivation: in a continuously-ingesting corpus (exactly the
+    CDC shape this engine loads), re-running LSH over the whole corpus for
+    every new batch is O(corpus) per batch.  This index persists exactly
+    the candidate-generation relation — (doc_id, band, bh), three scalars
+    per row, ``bands`` rows per document, no text / shingles / signatures —
+    so each new batch:
+
+      * computes band rows for ITS OWN documents only (map-side JVM math,
+        identical values to the one-shot path by construction — shared
+        ``_band_rows``);
+      * joins them against the index: the shuffle carries O(new×bands)
+        rows plus only the index buckets actually hit;
+      * verifies TRUE Jaccard on candidate pairs only, reading corpus text
+        through a semi-join on the candidate ids (the corpus is never
+        shingled wholesale — only rows that appear in some candidate);
+      * appends its own band rows (``add``) so the next batch sees it.
+
+    Hash parameters are pinned in ``_lsh_meta.json`` at ``create`` time and
+    re-read by ``open`` — band compatibility across batches is structural,
+    not by caller convention.  Same false-negative bound per pair as
+    ``minhash_lsh_candidates`` at equal parameters ((1-t^r)^b).
+    """
+
+    _META = "_lsh_meta.json"
+    _BANDS = "bands"
+
+    def __init__(self, spark, index_dir: str, meta: dict):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.num_hashes = int(meta["num_hashes"])
+        self.bands = int(meta["bands"])
+        self.shingle_k = int(meta["shingle_k"])
+        self.seed = int(meta["seed"])
+        self.id_col = meta["id_col"]
+        self.text_col = meta["text_col"]
+
+    @classmethod
+    def create(
+        cls,
+        spark,
+        index_dir: str,
+        *,
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle_k: int = 3,
+        seed: int = 42,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "MinHashLshIndex":
+        import json
+        import os
+
+        if num_hashes % bands != 0:
+            raise ValueError(
+                f"num_hashes={num_hashes} must be divisible by bands={bands}"
+            )
+        os.makedirs(index_dir, exist_ok=False)
+        meta = {
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_k": shingle_k,
+            "seed": seed,
+            "id_col": id_col,
+            "text_col": text_col,
+        }
+        with open(os.path.join(index_dir, cls._META), "w") as f:
+            json.dump(meta, f, indent=1)
+        return cls(spark, index_dir, meta)
+
+    @classmethod
+    def open(cls, spark, index_dir: str) -> "MinHashLshIndex":
+        import json
+        import os
+
+        with open(os.path.join(index_dir, cls._META)) as f:
+            return cls(spark, index_dir, json.load(f))
+
+    # -- internals ---------------------------------------------------------
+
+    def _bands_path(self) -> str:
+        import os
+
+        return os.path.join(self.index_dir, self._BANDS)
+
+    def _new_bands(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        sh = _shingled(df, self.id_col, self.text_col, self.shingle_k)
+        return sh, _band_rows(sh, self.num_hashes, self.bands, self.seed)
+
+    def _indexed_bands(self) -> DataFrame | None:
+        import os
+
+        p = self._bands_path()
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p)
+
+    # -- public ------------------------------------------------------------
+
+    def add(self, df: DataFrame) -> None:
+        """Append the batch's (doc_id, band, bh) rows.  Idempotence is the
+        CALLER's batch contract (pair a call with the pipeline's batch-id
+        manifest, as everywhere else in this engine); re-adding the same
+        ids only duplicates candidate generation, never output pairs
+        (pairs dedup before verification)."""
+        _sh, bands_df = self._new_bands(df)
+        bands_df.write.mode("append").parquet(self._bands_path())
+
+    def pairs_against(
+        self,
+        new_df: DataFrame,
+        corpus_df: DataFrame,
+        jaccard_threshold: float = 0.8,
+    ) -> DataFrame:
+        """Near-dup pairs (id_a < id_b, jaccard ≥ threshold) TOUCHING the
+        new batch: new×indexed plus new×new.  ``corpus_df`` must provide
+        (id_col, text_col) for every id in the index — it is read only
+        through a semi-join on the candidate ids.  Docs present in both
+        ``new_df`` and ``corpus_df`` are verified from the new side."""
+        new_sh, new_bands = self._new_bands(new_df)
+        old_bands = self._indexed_bands()
+
+        nn = (
+            new_bands.alias("a")
+            .join(new_bands.alias("b"), ["band", "bh"])
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        )
+        if old_bands is not None:
+            cross = (
+                new_bands.alias("n")
+                .join(old_bands.alias("o"), ["band", "bh"])
+                .filter(F.col("n._id") != F.col("o._id"))
+                .select(
+                    F.least("n._id", "o._id").alias("id_a"),
+                    F.greatest("n._id", "o._id").alias("id_b"),
+                )
+            )
+            cand = nn.unionByName(cross)
+        else:
+            cand = nn
+        cand = cand.dropDuplicates(["id_a", "id_b"])
+
+        # shingles for verification: new ids from the already-shingled new
+        # frame; indexed ids from corpus text narrowed BY SEMI-JOIN to the
+        # candidate ids (never a wholesale corpus shingle pass)
+        cand_ids = (
+            cand.select(F.col("id_a").alias("_id"))
+            .unionByName(cand.select(F.col("id_b").alias("_id")))
+            .dropDuplicates(["_id"])
+        )
+        old_needed = corpus_df.join(
+            cand_ids,
+            corpus_df[self.id_col] == cand_ids["_id"],
+            "leftsemi",
+        )
+        old_sh = _shingled(
+            old_needed, self.id_col, self.text_col, self.shingle_k
+        ).join(new_sh.select("_id"), "_id", "left_anti")
+        sh = new_sh.unionByName(old_sh)
+
+        sh_a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+        sh_b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+        verified = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        return (
+            verified.withColumn("jaccard", F.round(inter / union, 6))
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
 
 
 # ---------------------------------------------------------------------------
