@@ -917,6 +917,72 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(both, dim=dim, cosine_threshold=0.999)
 
 
+_PROFILE_NUMERIC = ("l_quantity", "l_extendedprice", "l_discount")
+_PROFILE_STRING = ("l_returnflag", "l_linestatus")
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (ingest-audit distributions) over
+    lineitem with nulls injected deterministically into l_discount
+    (l_orderkey % 10 == 0) so null accounting and null-ignoring
+    percentiles are value-checked, not vacuous.  distinct_mode="exact"
+    here because the oracle demands exact numbers; production default is
+    the single-pass HLL path (see functions/profile.py)."""
+    from airbyte_custom_spark.functions.profile import profile_columns
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = li.withColumn(
+        "l_discount",
+        F.when(F.col("l_orderkey") % 10 == 0, F.lit(None)).otherwise(
+            F.col("l_discount")
+        ),
+    )
+    return profile_columns(
+        li,
+        numeric_cols=_PROFILE_NUMERIC,
+        string_cols=_PROFILE_STRING,
+        distinct_mode="exact",
+    )
+
+
+def _profile_oracle_sql() -> str:
+    """DuckDB twin of q_profile_columns: the same null-injected frame, one
+    UNION ALL row per (column, metric) — quantile_cont is DuckDB's exact
+    interpolated percentile, matching Spark's `percentile`."""
+    parts = []
+    for c in _PROFILE_NUMERIC:
+        parts += [
+            f"SELECT '{c}' AS col_name, 'count' AS metric, cast(count({c}) AS double) AS value FROM t",
+            f"SELECT '{c}', 'nulls', cast(count(*) - count({c}) AS double) FROM t",
+            f"SELECT '{c}', 'distinct', cast(count(DISTINCT {c}) AS double) FROM t",
+            f"SELECT '{c}', 'min', cast(min({c}) AS double) FROM t",
+            f"SELECT '{c}', 'max', cast(max({c}) AS double) FROM t",
+            f"SELECT '{c}', 'mean', round(cast(avg({c}) AS double), 2) FROM t",
+            f"SELECT '{c}', 'stddev', round(cast(stddev_samp({c}) AS double), 2) FROM t",
+        ]
+        for p in (0.25, 0.5, 0.75):
+            parts.append(
+                f"SELECT '{c}', 'p{int(p * 100)}', "
+                f"round(cast(quantile_cont({c}, {p}) AS double), 6) FROM t"
+            )
+    for c in _PROFILE_STRING:
+        parts += [
+            f"SELECT '{c}', 'count', cast(count({c}) AS double) FROM t",
+            f"SELECT '{c}', 'nulls', cast(count(*) - count({c}) AS double) FROM t",
+            f"SELECT '{c}', 'distinct', cast(count(DISTINCT {c}) AS double) FROM t",
+            f"SELECT '{c}', 'min_len', cast(min(length({c})) AS double) FROM t",
+            f"SELECT '{c}', 'max_len', cast(max(length({c})) AS double) FROM t",
+            f"SELECT '{c}', 'avg_len', round(cast(avg(length({c})) AS double), 2) FROM t",
+            f"SELECT '{c}', 'empty', cast(count(CASE WHEN length({c}) = 0 THEN 1 END) AS double) FROM t",
+        ]
+    body = "\nUNION ALL\n".join(parts)
+    return (
+        "WITH t AS (SELECT * REPLACE ("
+        "CASE WHEN l_orderkey % 10 = 0 THEN NULL ELSE l_discount END AS l_discount"
+        ") FROM lineitem)\n" + body
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column → mapInPandas feature extraction (deterministic
     fake decoder; real decode stubbed — no codec libs in image)."""
@@ -994,6 +1060,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_table_envelope": q_raw_table_envelope,
         # training-data pipeline ops
         "doc_text_stats": q_doc_text_stats,
+        "profile_columns": q_profile_columns,
         "doc_lang_hits": q_doc_lang_hits,
         "doc_quality_lang": q_doc_quality_lang,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1266,6 +1333,7 @@ GROUP BY conv_id
         "embedding_lsh_ann": _lsh_ann_oracle_sql(),
         "embedding_ivf_ann": _ivf_ann_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
+        "profile_columns": _profile_oracle_sql(),
         "embedding_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qv

@@ -20,6 +20,11 @@ from airbyte_custom_spark.functions.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash48,
     simhash_near_dups,
+    MinHashLshIndex,
+    connected_components,
+)
+from airbyte_custom_spark.functions.profile import (  # noqa: F401
+    profile_columns,
 )
 from airbyte_custom_spark.functions.embeddings import (  # noqa: F401
     cosine_similarity,

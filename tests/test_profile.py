@@ -1,0 +1,80 @@
+"""Single-pass column profiler (functions/profile.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_custom_spark.functions.profile import profile_columns
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [
+        (1, 10.0, "aa"),
+        (2, 20.0, "bbb"),
+        (3, 30.0, ""),
+        (4, None, "aa"),
+        (5, 40.0, None),
+    ]
+    return spark.createDataFrame(rows, "id long, x double, s string")
+
+
+def _metrics(df, col):
+    return {
+        r["metric"]: r["value"] for r in df.collect() if r["col_name"] == col
+    }
+
+
+def test_numeric_metrics_exact(spark, frame):
+    out = profile_columns(
+        frame, numeric_cols=("x",), distinct_mode="exact"
+    )
+    m = _metrics(out, "x")
+    assert m["count"] == 4.0 and m["nulls"] == 1.0 and m["distinct"] == 4.0
+    assert m["min"] == 10.0 and m["max"] == 40.0 and m["mean"] == 25.0
+    # exact interpolated percentiles over [10,20,30,40] (nulls ignored)
+    assert m["p25"] == 17.5 and m["p50"] == 25.0 and m["p75"] == 32.5
+
+
+def test_string_metrics_exact(spark, frame):
+    out = profile_columns(frame, string_cols=("s",), distinct_mode="exact")
+    m = _metrics(out, "s")
+    assert m["count"] == 4.0 and m["nulls"] == 1.0
+    assert m["distinct"] == 3.0  # aa, bbb, ""
+    assert m["min_len"] == 0.0 and m["max_len"] == 3.0 and m["empty"] == 1.0
+
+
+def test_approx_mode_close_and_no_expand(spark, frame):
+    out = profile_columns(frame, numeric_cols=("x",), string_cols=("s",))
+    m = _metrics(out, "x")
+    assert abs(m["distinct"] - 4.0) <= 1.0
+    # the 100-TB contract: approx distinct must NOT plan the k-way Expand
+    # that exact count(DISTINCT a), count(DISTINCT b) requires
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
+def test_exact_mode_plans_expand(spark, frame):
+    """Documents the trade-off the module docstring states: simultaneous
+    exact distincts replicate scan rows via Expand — opt-in only."""
+    out = profile_columns(
+        frame, numeric_cols=("x",), string_cols=("s",), distinct_mode="exact"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+
+
+def test_single_aggregation_job(spark, frame):
+    """All metrics fold in ONE aggregate over ONE scan (modulo the final
+    stack projection) — the profile must never rescan per column."""
+    out = profile_columns(
+        frame, numeric_cols=("x",), string_cols=("s",), percentiles=(0.5,)
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
+
+
+def test_rejects_bad_mode_and_empty(spark, frame):
+    with pytest.raises(ValueError):
+        profile_columns(frame, numeric_cols=("x",), distinct_mode="maybe")
+    with pytest.raises(ValueError):
+        profile_columns(frame)
