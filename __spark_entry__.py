@@ -131,6 +131,44 @@ def q_cdc_final_state_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return _final_payload(t.read())
 
 
+def q_time_travel_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation time travel (C6 schema/commit history; Iceberg
+    `VERSION AS OF` analog, `IcebergConsumer.java` snapshot chain): ingest
+    the WAL as 3 incremental merges, then read the table AS OF the version
+    committed by the SECOND merge — must equal the SQL replay of the lsn
+    prefix (lsn ≤ 2·max/3).  Later commits touch only new snapshot
+    descriptors; an earlier version's manifest refs stay readable until
+    expire_snapshots, so the past read is byte-stable, not best-effort."""
+    ev = events_from_table(spark, sf_dir)
+    hi = ev.agg(F.max("lsn")).first()[0] or 0
+    t = LakeTable.create(
+        spark, _fresh_dir("ttravel"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    versions = []
+    for i in range(3):
+        batch = ev.filter((F.col("lsn") > cuts[i]) & (F.col("lsn") <= cuts[i + 1]))
+        versions.append(t.merge(batch, batch_id=i).version)
+    past = LakeTable.load(spark, t.path, version=versions[1])
+    return _final_payload(past.read())
+
+
+_ORACLE_FINAL_PREFIX = f"""
+WITH ev0 AS ({DERIVATION_SQL}),
+ev AS (
+  SELECT * FROM ev0
+  WHERE lsn <= (2 * (SELECT max(lsn) FROM ev0)) // 3
+),
+ranked AS (
+  SELECT ev.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+FROM ranked WHERE rn = 1 AND op <> 'd'
+"""
+
+
 def q_cdc_stream_tail_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Structured-Streaming tail: events written as binlog
     segments, consumed by the checkpointed ingest job (availableNow),
@@ -1046,6 +1084,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_widening_final_state": q_json_widening_final_state,
         "schema_rename_final_state": q_schema_rename_final_state,
         "cdc_final_state_incremental": q_cdc_final_state_incremental,
+        "time_travel_final_state": q_time_travel_final_state,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
         "lineage_accounting": q_lineage_accounting,
         "stateful_sequence_monitor": q_stateful_sequence_monitor,
@@ -1124,6 +1163,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn = 1 AND op <> 'd'
         """,
         "cdc_final_state_incremental": _ORACLE_FINAL,
+        "time_travel_final_state": _ORACLE_FINAL_PREFIX,
         "cdc_stream_tail_final_state": _ORACLE_FINAL,
         # snapshot-persisted lineage folded across micro-batches must be
         # EXACT event accounting, not an estimate
