@@ -850,6 +850,29 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END USE of the dedup family: materialize the deduplicated
+    corpus.  pairs (exact 3-gram Jaccard ≥ 0.9) → connected components →
+    keep one doc per cluster (the min-id canonical) plus every
+    uncontested doc — a broadcast left-anti semi-join of the corpus
+    against the (tiny) non-canonical id set, so the corpus itself never
+    shuffles.  Output is (doc_id, n_chars) of the KEPT rows."""
+    from airbyte_custom_spark.functions.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs_with_planted_dups(spark, sf_dir).select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.9, max_shingle_freq=10_000)
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+
 def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL MinHash+LSH over a persisted band index: the planted-dup
     corpus splits deterministically into an already-indexed batch
@@ -1109,6 +1132,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "dedup_components": q_dedup_components,
+        "corpus_dedup": q_corpus_dedup,
         "dedup_simhash": q_dedup_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_ann": q_embedding_lsh_ann,
@@ -1356,6 +1380,7 @@ GROUP BY conv_id
         "dedup_ngram_jaccard": _ngram_jaccard_oracle(0.9),
         "dedup_ngram_jaccard_capped": _ngram_jaccard_capped_oracle(0.5, 3),
         "dedup_components": _dedup_components_oracle(0.9),
+        "corpus_dedup": _corpus_dedup_oracle(0.9),
         "doc_quality_lang": _quality_lang_oracle_sql(),
         "doc_fingerprints": _fingerprint_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
@@ -1481,6 +1506,36 @@ _NGRAM_JAC_CTES = r"""
               FROM shared
             )
 """
+
+
+def _corpus_dedup_oracle(threshold: float) -> str:
+    """DuckDB twin of q_corpus_dedup: the `_dedup_components_oracle`
+    closure, then keep every doc that is not a non-canonical cluster
+    member."""
+    docs = _DUP_DOCS_SQL.replace("WITH all_docs", "WITH RECURSIVE all_docs", 1)
+    return (
+        docs
+        + _NGRAM_JAC_CTES
+        + f"""
+            , pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {threshold}),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL
+              SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT u AS id FROM edges),
+            walk(id, comp) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+            ),
+            labels AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+            dropped AS (SELECT id FROM labels WHERE id <> comp)
+            SELECT d.doc_id, length(d.text) AS n_chars
+            FROM all_docs d
+            WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+        """
+    )
 
 
 def _ngram_jaccard_oracle(threshold: float) -> str:
