@@ -131,6 +131,30 @@ def q_cdc_final_state_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return _final_payload(t.read())
 
 
+def q_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental replay in merge-on-read mode (Iceberg v2
+    ``write.merge.mode=merge-on-read``; `IcebergConsumer.java:140-224` is
+    the CoW-equivalent reference sink): each merge appends a bucket-
+    aligned delta manifest with NO target read, ``compact_deltas`` folds
+    the first two, and read() reduces base ∪ the still-outstanding third
+    delta per key — exercising both the physical fold and the read-time
+    fold against the same SQL oracle as the CoW paths (the two write
+    modes are read-equivalent by construction)."""
+    ev = events_from_table(spark, sf_dir)
+    hi = ev.agg(F.max("lsn")).first()[0] or 0
+    t = LakeTable.create(
+        spark, _fresh_dir("mor"), TRANSCRIPT_SCHEMA, num_buckets=16,
+        write_mode="mor",
+    )
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    for i in range(3):
+        batch = ev.filter((F.col("lsn") > cuts[i]) & (F.col("lsn") <= cuts[i + 1]))
+        t.merge(batch, batch_id=i)
+        if i == 1:
+            t.compact_deltas()
+    return _final_payload(t.read())
+
+
 def q_time_travel_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-isolation time travel (C6 schema/commit history; Iceberg
     `VERSION AS OF` analog, `IcebergConsumer.java` snapshot chain): ingest
@@ -1107,6 +1131,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_widening_final_state": q_json_widening_final_state,
         "schema_rename_final_state": q_schema_rename_final_state,
         "cdc_final_state_incremental": q_cdc_final_state_incremental,
+        "mor_final_state": q_mor_final_state,
         "time_travel_final_state": q_time_travel_final_state,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
         "lineage_accounting": q_lineage_accounting,
@@ -1187,6 +1212,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn = 1 AND op <> 'd'
         """,
         "cdc_final_state_incremental": _ORACLE_FINAL,
+        "mor_final_state": _ORACLE_FINAL,
         "time_travel_final_state": _ORACLE_FINAL_PREFIX,
         "cdc_stream_tail_final_state": _ORACLE_FINAL,
         # snapshot-persisted lineage folded across micro-batches must be

@@ -20,6 +20,7 @@ Usage (local or cluster; package shipped via --py-files):
   ... job_main.py show --table /data/tbl [--limit 20]
   ... job_main.py history --table /data/tbl
   ... job_main.py compact --table /data/tbl
+  ... job_main.py compact-deltas --table /data/tbl   # fold MoR deltas
   ... job_main.py expire --table /data/tbl [--remove-orphans]
   ... job_main.py gc-tombstones --table /data/tbl --watermark N
 """
@@ -54,6 +55,11 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     i.add_argument("--table", required=True)
     i.add_argument("--buckets", type=int, default=64)
     i.add_argument("--files-per-bucket", type=int, default=1)
+    i.add_argument(
+        "--write-mode", choices=("cow", "mor"), default="cow",
+        help="merge strategy: copy-on-write (rewrite touched buckets) or "
+             "merge-on-read (append delta manifests; fold with compact-deltas)",
+    )
 
     b = sub.add_parser("backfill", help="phase 1: initial snapshot load")
     b.add_argument("--table", required=True)
@@ -123,6 +129,13 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     c.add_argument("--table", required=True)
     c.add_argument("--min-files", type=int, default=2)
 
+    cd = sub.add_parser(
+        "compact-deltas",
+        help="fold outstanding merge-on-read deltas into the base "
+             "(rewrites only delta-touched buckets)",
+    )
+    cd.add_argument("--table", required=True)
+
     e = sub.add_parser(
         "expire", help="drop old snapshots; optionally sweep orphan files"
     )
@@ -172,6 +185,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             TRANSCRIPT_SCHEMA,
             num_buckets=args.buckets,
             files_per_bucket=args.files_per_bucket,
+            write_mode=args.write_mode,
         )
         print(json.dumps({"table": args.table, "version": t_.version}))
     elif args.cmd == "backfill":
@@ -336,6 +350,10 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         t_ = LakeTable.load(spark, args.table)
         v = t_.compact(min_files_per_bucket=args.min_files)
         print(json.dumps({"compacted_to_version": v}))
+    elif args.cmd == "compact-deltas":
+        t_ = LakeTable.load(spark, args.table)
+        v = t_.compact_deltas()
+        print(json.dumps({"compacted_to_version": v, "stats": t_.stats()}))
     elif args.cmd == "expire":
         t_ = LakeTable.load(spark, args.table)
         stats = t_.expire_snapshots(

@@ -79,6 +79,7 @@ import json
 import os
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from typing import Any
@@ -163,8 +164,16 @@ class LakeTable:
         num_buckets: int = 16,
         files_per_bucket: int = 1,
         payload_key_map: dict[str, str] | None = None,
+        write_mode: str = "cow",
     ) -> "LakeTable":
         """Create an empty table. Physical schema = payload + meta columns.
+
+        ``write_mode`` picks the default merge strategy (overridable
+        per-merge): ``"cow"`` (copy-on-write — rewrite touched buckets,
+        read is a plain scan) or ``"mor"`` (merge-on-read — each merge
+        appends a bucket-aligned DELTA manifest, O(batch) write I/O;
+        reads reduce base+deltas per key until ``compact_deltas`` folds
+        them — Iceberg v2 ``write.merge.mode`` semantics).
 
         ``bucket_keys`` defaults to the primary key: with bucket =
         pmod(murmur3(pk), num_buckets), the merge's groupBy(pk) exchange is
@@ -190,7 +199,9 @@ class LakeTable:
             "files_per_bucket": max(1, files_per_bucket),
             "bucket_keys": list(bucket_keys or primary_key),
             "primary_key": list(primary_key),
+            "write_mode": write_mode,
             "manifests": [],
+            "deltas": [],
             "applied": {},
             "applied_lsn_high": None,
             "lineage": [],
@@ -234,6 +245,18 @@ class LakeTable:
         intersects the request (manifest-level pruning)."""
         out: list[dict[str, Any]] = []
         for ref in self.snapshot["manifests"]:
+            live = set(ref["live_buckets"])
+            want = live if buckets is None else (live & set(buckets))
+            if not want:
+                continue
+            out += [e for e in self._load_manifest(ref) if e["bucket"] in want]
+        return out
+
+    def live_delta_files(self, buckets: set[int] | None = None) -> list[dict[str, Any]]:
+        """Delta-manifest file entries (merge-on-read commits not yet folded
+        into the base by ``compact_deltas``), same pruning as live_files."""
+        out: list[dict[str, Any]] = []
+        for ref in self.delta_refs:
             live = set(ref["live_buckets"])
             want = live if buckets is None else (live & set(buckets))
             if not want:
@@ -299,6 +322,14 @@ class LakeTable:
     def payload_columns(self) -> list[str]:
         return self.snapshot["payload_columns"]
 
+    @property
+    def write_mode(self) -> str:
+        return self.snapshot.get("write_mode", "cow")
+
+    @property
+    def delta_refs(self) -> list[dict[str, Any]]:
+        return self.snapshot.get("deltas", [])
+
     def schema(self, schema_id: int | None = None) -> T.StructType:
         sid = self.snapshot["current_schema_id"] if schema_id is None else schema_id
         return T.StructType.fromJson(self.snapshot["schemas"][str(sid)])
@@ -322,13 +353,27 @@ class LakeTable:
                 rows += r
                 bytes_ += sz
                 by_bucket[int(b)] = by_bucket.get(int(b), 0) + n
+        # merge-on-read deltas roll up separately: delta rows UPPER-BOUND
+        # the logical rows they'll net to (superseded/tombstoned rows fold
+        # away at compact_deltas) — same estimate semantics as Iceberg's
+        # total-records with outstanding equality deletes.  delta_files is
+        # what a C8 cadence valve should watch to trigger compaction.
+        d_files = d_rows = d_bytes = 0
+        for ref in self.delta_refs:
+            for _b, (n, r, sz) in ref["by_bucket"].items():
+                d_files += n
+                d_rows += r
+                d_bytes += sz
         return {
             "version": self.version,
-            "files": files,
-            "rows": rows,
-            "bytes": bytes_,
+            "files": files + d_files,
+            "rows": rows + d_rows,
+            "bytes": bytes_ + d_bytes,
             "buckets": len(by_bucket),
             "max_files_per_bucket": max(by_bucket.values(), default=0),
+            "delta_files": d_files,
+            "delta_rows": d_rows,
+            "delta_bytes": d_bytes,
         }
 
     def applied_lsn_high_watermark(self) -> int | None:
@@ -351,6 +396,11 @@ class LakeTable:
                         "files": sum(
                             st[0]
                             for ref in s.get("manifests", [])
+                            for st in ref["by_bucket"].values()
+                        ),
+                        "delta_files": sum(
+                            st[0]
+                            for ref in s.get("deltas", [])
                             for st in ref["by_bucket"].values()
                         ),
                         "applied": s.get("applied", {}),
@@ -420,10 +470,26 @@ class LakeTable:
     ) -> DataFrame:
         """Current snapshot as a DataFrame.  ``buckets`` prunes manifest
         shards AND data files before Spark ever lists them (the
-        manifest-level pruning Iceberg does with partition stats)."""
-        df = self._read_files(
-            self.live_files(None if buckets is None else set(buckets))
-        )
+        manifest-level pruning Iceberg does with partition stats).
+
+        With outstanding merge-on-read deltas the scan is followed by ONE
+        latest-per-key reduce over base ∪ deltas (greatest (_lsn,
+        _deleted) wins — identical tie rule to the CoW merge, so the two
+        write modes are read-equivalent by construction).  With no deltas
+        (all-CoW, or post-``compact_deltas``) the plan is the plain scan
+        it always was — zero read amplification."""
+        want = None if buckets is None else set(buckets)
+        df = self._read_files(self.live_files(want))
+        delta_files = self.live_delta_files(want)
+        if delta_files:
+            from airbyte_custom_spark.operators.dedupe import latest_per_key
+
+            df = latest_per_key(
+                df.unionByName(self._read_files(delta_files)),
+                self.primary_key,
+                order_col="_lsn",
+                delete_col="_deleted",
+            )
         if not include_deleted:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         if not include_meta:
@@ -638,10 +704,44 @@ class LakeTable:
         rows = self._finalize_rows(events_df, extracted_at)
         snap = self._next_snapshot("overwrite")
         snap["manifests"] = [self._write_data(rows, snap)]
+        snap["deltas"] = []
         self._commit(snap)
         return snap["version"]
 
     # -- merge (destination mode append_dedup: upsert + CDC delete) ---------
+
+    @contextmanager
+    def _pinned_layout(self, enabled: bool):
+        """Pin the next aggregation's exchange to the bucket layout
+        (num_buckets × files_per_bucket reducers, AQE coalescing off —
+        the partition count is a layout CONTRACT, not a sizing hint; AQE
+        re-merging it was observed collapsing 64 → 22 tasks and with it
+        the reducer↔bucket alignment).  No-op when ``enabled`` is False."""
+        if not enabled:
+            yield
+            return
+        conf = self.spark.conf
+        fpb = int(self.snapshot.get("files_per_bucket", 1))
+        prev_shuffle = conf.get("spark.sql.shuffle.partitions")
+        prev_coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        conf.set("spark.sql.shuffle.partitions", str(self.num_buckets * fpb))
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try:
+            yield
+        finally:
+            conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+            conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce)
+
+    def _apply_lineage(self, snap: dict[str, Any], lineage: list[dict[str, Any]]) -> None:
+        """Record a merge commit's per-partition lineage (A1) and fold its
+        max LSNs into the cumulative applied_lsn_high watermark (C7)."""
+        snap["lineage"] = lineage
+        highs = [p["max_lsn"] for p in lineage if p.get("max_lsn") is not None]
+        if highs:
+            prev_high = self.snapshot.get("applied_lsn_high")
+            snap["applied_lsn_high"] = max(
+                [*highs, prev_high] if prev_high is not None else highs
+            )
 
     def merge(
         self,
@@ -654,6 +754,7 @@ class LakeTable:
         validate_pk: bool = True,
         touched_buckets: list[int] | None = None,
         pin_exchange: bool = True,
+        mode: str | None = None,
     ) -> MergeResult:
         """Apply a batch of CDC events (payload + lsn + op [+ _ab_cdc_*]).
 
@@ -679,7 +780,27 @@ class LakeTable:
         exchanges, but ZERO session-conf mutation, so concurrent merges
         into different tables from driver threads cannot clobber each
         other's pinned partition count (GlobalStateIngestJob's
-        stream_parallelism path uses this)."""
+        stream_parallelism path uses this).
+
+        ``mode`` overrides the table's ``write_mode`` for this merge:
+        ``"cow"`` is the path described above; ``"mor"`` dispatches to
+        the merge-on-read path (``_merge_mor`` — append a bucket-aligned
+        delta, no target read).  Modes may be mixed on one table: read()
+        folds whatever deltas exist regardless of how base files were
+        written."""
+        resolved = mode or self.write_mode
+        if resolved not in ("cow", "mor"):
+            raise ValueError(f"unknown merge mode {resolved!r} (cow|mor)")
+        if resolved == "mor":
+            return self._merge_mor(
+                events_df,
+                batch_id=batch_id,
+                query_id=query_id,
+                extracted_at=extracted_at,
+                lineage=lineage,
+                validate_pk=validate_pk,
+                pin_exchange=pin_exchange,
+            )
         if batch_id is not None and batch_id <= self.last_committed_batch(query_id):
             return MergeResult(version=None, skipped=True)
         if validate_pk:
@@ -728,43 +849,17 @@ class LakeTable:
         # num_buckets × files_per_bucket partitions — reducer p then holds
         # exactly bucket p % num_buckets, so the write needs NO repartition
         aligned = pin_exchange and list(self.snapshot["bucket_keys"]) == list(pk)
-        fpb = int(self.snapshot.get("files_per_bucket", 1))
-        conf = self.spark.conf
         try:
-            if aligned:
-                prev_shuffle = conf.get("spark.sql.shuffle.partitions")
-                prev_coalesce = conf.get(
-                    "spark.sql.adaptive.coalescePartitions.enabled"
-                )
-                conf.set(
-                    "spark.sql.shuffle.partitions", str(self.num_buckets * fpb)
-                )
-                # AQE partition coalescing would silently re-merge the
-                # pinned exchange (observed 64 → 22 tasks), collapsing the
-                # reducer↔bucket alignment AND the files_per_bucket hot-
-                # bucket smoothing — the partition count here is a layout
-                # contract, not a sizing hint
-                conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-            new_ref = self._write_data(merged, snap, layout_partitioned=aligned)
+            with self._pinned_layout(aligned):
+                new_ref = self._write_data(merged, snap, layout_partitioned=aligned)
         finally:
-            if aligned:
-                conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-                conf.set(
-                    "spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce
-                )
             if cached is not None:
                 cached.unpersist()
         snap["manifests"] = carried + [new_ref]
         if batch_id is not None:
             snap["applied"] = {**self.snapshot["applied"], query_id: batch_id}
         if lineage is not None:
-            snap["lineage"] = lineage
-            highs = [p["max_lsn"] for p in lineage if p.get("max_lsn") is not None]
-            if highs:
-                prev_high = self.snapshot.get("applied_lsn_high")
-                snap["applied_lsn_high"] = max(
-                    [*highs, prev_high] if prev_high is not None else highs
-                )
+            self._apply_lineage(snap, lineage)
         self._commit(snap)
         return MergeResult(
             version=snap["version"],
@@ -789,6 +884,104 @@ class LakeTable:
             order_col="_lsn",
             delete_col="_deleted",
         )
+
+    def _merge_mor(
+        self,
+        events_df: DataFrame,
+        batch_id: int | None,
+        query_id: str,
+        extracted_at: datetime | None,
+        lineage: list[dict[str, Any]] | None,
+        validate_pk: bool,
+        pin_exchange: bool,
+    ) -> MergeResult:
+        """Merge-on-read apply: reduce the BATCH to one row per key (same
+        greatest-(lsn, is_delete) delete-wins rule as the CoW merge) and
+        append it as a DELTA manifest — no target read, no bucket rewrite.
+        Commit I/O is O(batch), not O(touched buckets × files): at a
+        10^10-event table with small hot batches this is the difference
+        between rewriting multi-GB buckets per micro-batch and appending
+        a few MB.  Readers fold base ∪ deltas per key (read()); the C8
+        cadence valve folds them physically via compact_deltas().  The
+        Iceberg v2 ``write.merge.mode=merge-on-read`` analog (data +
+        equality-delete files per commit, `IcebergConsumer.java:140-224`
+        is the CoW-equivalent reference sink this trades read work
+        against).  Delta files use the SAME bucket layout as the base —
+        the batch reduce's pinned exchange doubles as the layout exchange
+        (one shuffle per merge, like CoW), and compaction's fold prunes
+        to delta-touched buckets only."""
+        if batch_id is not None and batch_id <= self.last_committed_batch(query_id):
+            return MergeResult(version=None, skipped=True)
+        if validate_pk:
+            validate_primary_keys(events_df, self.primary_key)
+        from airbyte_custom_spark.operators.dedupe import latest_per_key
+
+        rows = self._finalize_rows(events_df, extracted_at, defer_ids=True)
+        pk = self.primary_key
+        aligned = pin_exchange and list(self.snapshot["bucket_keys"]) == list(pk)
+        snap = self._next_snapshot("merge-mor")
+        with self._pinned_layout(aligned):
+            reduced = latest_per_key(
+                rows, pk, order_col="_lsn", delete_col="_deleted"
+            )
+            # ids only for rows that survive the batch reduce (same
+            # deferral as CoW: the 64-byte hash never crosses the shuffle)
+            new_ref = self._write_data(
+                self._fill_ids_cols(reduced, extracted_at),
+                snap,
+                layout_partitioned=aligned,
+            )
+        snap["deltas"] = self.delta_refs + [new_ref]
+        if batch_id is not None:
+            snap["applied"] = {**self.snapshot["applied"], query_id: batch_id}
+        if lineage is not None:
+            self._apply_lineage(snap, lineage)
+        carried = self._ref_files(self.snapshot["manifests"])
+        self._commit(snap)
+        return MergeResult(
+            version=snap["version"],
+            touched_buckets=list(new_ref["live_buckets"]),
+            carried_files=carried,
+            written_files=self._ref_files([new_ref]),
+        )
+
+    def compact_deltas(self) -> int | None:
+        """Fold outstanding merge-on-read deltas into the base: rewrite
+        ONLY the buckets the deltas touch (untouched base files are
+        carried by reference), ONE latest-per-key reduce over base ∪
+        deltas, clear the delta list.  Tombstone winners stay physical in
+        the base — exactly the CoW merge's behavior — so gc_tombstones
+        retains its watermark contract afterwards.  Returns the new
+        version, or None when there is nothing to fold.  The Iceberg
+        `rewrite_data_files` + `rewrite_position_delete_files`
+        maintenance pair collapsed into one snapshot commit."""
+        if not self.delta_refs:
+            return None
+        from airbyte_custom_spark.operators.dedupe import latest_per_key
+
+        touched = {b for ref in self.delta_refs for b in ref["live_buckets"]}
+        keep = [
+            r
+            for r in (
+                self._drop_buckets(ref, touched)
+                for ref in self.snapshot["manifests"]
+            )
+            if r is not None
+        ]
+        union = self._read_files(self.live_files(touched)).unionByName(
+            self._read_files(self.live_delta_files())
+        )
+        aligned = list(self.snapshot["bucket_keys"]) == list(self.primary_key)
+        snap = self._next_snapshot("compact-deltas")
+        with self._pinned_layout(aligned):
+            rows = latest_per_key(
+                union, self.primary_key, order_col="_lsn", delete_col="_deleted"
+            )
+            new_ref = self._write_data(rows, snap, layout_partitioned=aligned)
+        snap["manifests"] = keep + [new_ref]
+        snap["deltas"] = []
+        self._commit(snap)
+        return snap["version"]
 
     # ------------------------------------------------------- schema evolve
 
@@ -854,6 +1047,7 @@ class LakeTable:
         # write leaves the in-memory table on the committed version
         aligned = self._align(rows, new_physical)
         snap["manifests"] = [self._write_data(aligned, snap)]
+        snap["deltas"] = []  # rows already folded deltas via read()
         self._commit(snap)
         return snap["version"]
 
@@ -925,7 +1119,7 @@ class LakeTable:
         live_manifests: set[str] = set()
         for v in retained:
             snap = _snapshot(v)
-            for ref in snap.get("manifests", []):
+            for ref in snap.get("manifests", []) + snap.get("deltas", []):
                 live_manifests.add(ref["path"])
                 live = set(ref["live_buckets"])
                 for e in self._load_manifest(ref):
@@ -935,7 +1129,7 @@ class LakeTable:
         removed_files = removed_manifests = 0
         for v in expired:
             snap = _snapshot(v)
-            for ref in snap.get("manifests", []):
+            for ref in snap.get("manifests", []) + snap.get("deltas", []):
                 for e in self._load_manifest(ref):
                     if e["path"] not in live_files:
                         full = os.path.join(self.path, e["path"])
@@ -979,6 +1173,15 @@ class LakeTable:
         """Physically drop tombstones with _lsn < watermark (safe once every
         source partition has passed the watermark — no staler update can
         arrive).  Rewrites only buckets that contain old tombstones."""
+        if self.delta_refs:
+            # a base tombstone below the watermark may be the only thing
+            # shadowing an even-older delta upsert for the same key —
+            # dropping it would RESURRECT the deleted row at read time.
+            # Fold first; compact_deltas preserves tombstone winners.
+            raise ValueError(
+                "gc_tombstones with outstanding merge-on-read deltas could "
+                "resurrect deleted rows — run compact_deltas() first"
+            )
         all_rows = self.read(include_deleted=True, include_meta=True)
         affected = (
             all_rows.filter(

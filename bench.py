@@ -225,6 +225,48 @@ def child_headline_run(n_events: int, seg_dir: str) -> None:
     for d in (jdir, jtbl, jckpt):
         shutil.rmtree(d, ignore_errors=True)
 
+    # merge-on-read vs copy-on-write micro: 8 small hot batches against a
+    # base of ~m_n rows.  CoW rewrites every touched bucket per batch
+    # (write amplification ≈ base size × batches when hot keys span all
+    # buckets); MoR appends O(batch) delta manifests and folds ONCE at the
+    # end (compact_deltas).  This is the trade the mode exists for — the
+    # per-batch commit cost of a streaming tail against a huge base.
+    m_n = max(n_events // 5, 100_000)
+    m_ev = events.filter(f"lsn <= {m_n}")
+    cut = int(m_n * 0.9)
+    cow_tbl = tempfile.mkdtemp(prefix="bench-cow-", dir=SHM)
+    shutil.rmtree(cow_tbl, ignore_errors=True)
+    base = LakeTable.create(spark, cow_tbl, TRANSCRIPT_SCHEMA, num_buckets=32)
+    base.merge(m_ev.filter(f"lsn <= {cut}"), batch_id=0, validate_pk=False)
+    mor_tbl = tempfile.mkdtemp(prefix="bench-mor-", dir=SHM)
+    shutil.rmtree(mor_tbl, ignore_errors=True)
+    shutil.copytree(cow_tbl, mor_tbl)
+    step = (m_n - cut) // 8
+    slices = [(cut + i * step, cut + (i + 1) * step) for i in range(8)]
+    mtimes: dict[str, float] = {}
+    for mode, path in (("cow", cow_tbl), ("mor", mor_tbl)):
+        t_ = LakeTable.load(spark, path)
+        t0 = time.monotonic()
+        for i, (lo, hi) in enumerate(slices, start=1):
+            t_.merge(
+                m_ev.filter(f"lsn > {lo} AND lsn <= {hi}"),
+                batch_id=i, mode=mode, validate_pk=False,
+            )
+        mtimes[mode] = time.monotonic() - t0
+        if mode == "mor":
+            t0 = time.monotonic()
+            t_.compact_deltas()
+            mtimes["mor_compact"] = time.monotonic() - t0
+    queries["cow_hot_batches"] = round(mtimes["cow"], 3)
+    queries["mor_hot_batches"] = round(mtimes["mor"], 3)
+    queries["mor_compact"] = round(mtimes["mor_compact"], 3)
+    log(f"  hot-batch micro (8×{step:,} ev on {cut:,}-row base): "
+        f"cow {mtimes['cow']:.1f}s, mor {mtimes['mor']:.1f}s "
+        f"(+compact {mtimes['mor_compact']:.1f}s) → "
+        f"{mtimes['cow'] / mtimes['mor']:.1f}× append-path win")
+    for d in (cow_tbl, mor_tbl):
+        shutil.rmtree(d, ignore_errors=True)
+
     spark.stop()
     print(json.dumps({"queries": queries, "events_per_sec": head["events_per_sec"]}))
 
@@ -585,6 +627,19 @@ hot-conversation skew, 5% deletes).
 |---|---|
 | end-to-end apply | {r['value']} s |
 | events/sec | {r['events_per_sec']:,} |
+
+## Write modes: copy-on-write vs merge-on-read (hot-batch micro)
+
+8 small batches applied to an established base table (keys span all
+buckets — CoW's worst case, a streaming tail's common case).  CoW
+rewrites every touched bucket per batch; MoR appends O(batch) delta
+manifests (read() folds them; `compact_deltas` folds physically, once).
+
+| path | seconds |
+|---|---|
+| 8 CoW merges | {r['queries'].get('cow_hot_batches')} |
+| 8 MoR merges | {r['queries'].get('mor_hot_batches')} |
+| MoR final compact_deltas | {r['queries'].get('mor_compact')} |
 
 ## Two-parallelism scaling (same input, same code, separate JVMs)
 

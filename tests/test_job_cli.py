@@ -85,3 +85,31 @@ def test_cli_monitor(spark, tmp_path, capsys):
     assert {"conv_id", "events", "gaps", "regressions", "deletes"} <= set(
         rows.columns
     )
+
+
+def test_cli_mor_lifecycle(spark, tmp_path, capsys):
+    """init --write-mode mor → tail appends delta manifests (no bucket
+    rewrites) → compact-deltas folds them; final rows identical to a CoW
+    run of the same WAL."""
+    seg = str(tmp_path / "seg_m")
+    run(capsys, "gen", "--out", seg, "--events", "2000", "--chunks", "2")
+
+    mor = str(tmp_path / "tbl_mor")
+    run(capsys, "init", "--table", mor, "--buckets", "4",
+        "--write-mode", "mor")
+    run(capsys, "tail", "--table", mor, "--source", seg,
+        "--checkpoint", str(tmp_path / "ck_m"))
+    t_m = LakeTable.load(spark, mor)
+    assert t_m.stats()["delta_files"] > 0
+
+    cd = run(capsys, "compact-deltas", "--table", mor)
+    assert cd["compacted_to_version"] is not None
+    assert cd["stats"]["delta_files"] == 0
+
+    cow = str(tmp_path / "tbl_cow")
+    run(capsys, "init", "--table", cow, "--buckets", "4")
+    run(capsys, "tail", "--table", cow, "--source", seg,
+        "--checkpoint", str(tmp_path / "ck_c"))
+    a = LakeTable.load(spark, mor).read().orderBy("conv_id", "turn_idx")
+    b = LakeTable.load(spark, cow).read().orderBy("conv_id", "turn_idx")
+    assert a.collect() == b.collect()
