@@ -131,6 +131,50 @@ def q_cdc_final_state_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return _final_payload(t.read())
 
 
+def q_rebucket_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-layout evolution under load: ingest into a 16-bucket table,
+    rebucket to 10 mid-stream (folding is part of the same commit), apply
+    one more batch into the NEW layout, read — must equal the plain
+    replay (Iceberg partition-evolution analog; bucket is a pure function
+    of the key, recomputed per version)."""
+    ev = events_from_table(spark, sf_dir)
+    hi = ev.agg(F.max("lsn")).first()[0] or 0
+    t = LakeTable.create(
+        spark, _fresh_dir("rebucket"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    cut = 2 * hi // 3
+    t.merge(ev.filter(F.col("lsn") <= cut), batch_id=0)
+    t.rebucket(10)
+    t.merge(ev.filter(F.col("lsn") > cut), batch_id=1)
+    return _final_payload(t.read())
+
+
+def q_incremental_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream incremental export (`read_since`): keys whose CURRENT
+    winning version landed after a cursor — upserts AND tombstones, the
+    feed a downstream cursor-based sync consumes (S2 cursor semantics
+    turned outward at the sink; Iceberg incremental-scan analog).  Files
+    whose manifest lsn_max ≤ cursor are skipped without opening them —
+    O(changed data), not O(table)."""
+    ev = events_from_table(spark, sf_dir)
+    hi = ev.agg(F.max("lsn")).first()[0] or 0
+    t = LakeTable.create(
+        spark, _fresh_dir("export"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    for i in range(3):
+        batch = ev.filter((F.col("lsn") > cuts[i]) & (F.col("lsn") <= cuts[i + 1]))
+        t.merge(batch, batch_id=i)
+    cursor = 2 * hi // 3
+    out = t.read_since(cursor)
+    return out.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("_lsn").alias("lsn"),
+        F.col("_deleted").alias("deleted"),
+    )
+
+
 def q_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental replay in merge-on-read mode (Iceberg v2
     ``write.merge.mode=merge-on-read``; `IcebergConsumer.java:140-224` is
@@ -1132,6 +1176,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_rename_final_state": q_schema_rename_final_state,
         "cdc_final_state_incremental": q_cdc_final_state_incremental,
         "mor_final_state": q_mor_final_state,
+        "rebucket_final_state": q_rebucket_final_state,
+        "incremental_export": q_incremental_export,
         "time_travel_final_state": q_time_travel_final_state,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
         "lineage_accounting": q_lineage_accounting,
@@ -1213,6 +1259,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_final_state_incremental": _ORACLE_FINAL,
         "mor_final_state": _ORACLE_FINAL,
+        "rebucket_final_state": _ORACLE_FINAL,
+        # winners (incl. delete winners) strictly after the 2/3 cursor —
+        # the read_since export feed
+        "incremental_export": f"""
+            WITH ev0 AS ({ev}),
+            ranked AS (
+              SELECT ev0.*, row_number() OVER (
+                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+              FROM ev0
+            )
+            SELECT conv_id, turn_idx, role, text, tool,
+                   epoch_us(ts) AS ts_us, lsn, (op = 'd') AS deleted
+            FROM ranked
+            WHERE rn = 1 AND lsn > (2 * (SELECT max(lsn) FROM ev0)) // 3
+        """,
         "time_travel_final_state": _ORACLE_FINAL_PREFIX,
         "cdc_stream_tail_final_state": _ORACLE_FINAL,
         # snapshot-persisted lineage folded across micro-batches must be

@@ -74,3 +74,11 @@ class IngestConfig:
     # idle).  1 = sequential (reference behavior: one buffered consumer
     # drains streams in turn, `BufferedStreamConsumer.java:200-291`).
     stream_parallelism: int = 1
+    # merge-on-read C8 cadence valve: after a committed batch, if the
+    # target table carries more outstanding delta manifests than this,
+    # fold them into the base (LakeTable.compact_deltas) before the next
+    # trigger — bounding read amplification the same way the reference's
+    # T+D-every-N-batches valve bounds raw-table growth
+    # (`DefaultTyperDeduper` cadence).  The check reads snapshot rollups
+    # only (zero I/O).  None = never auto-fold (maintenance job folds).
+    mor_delta_budget: int | None = None

@@ -21,6 +21,7 @@ Usage (local or cluster; package shipped via --py-files):
   ... job_main.py history --table /data/tbl
   ... job_main.py compact --table /data/tbl
   ... job_main.py compact-deltas --table /data/tbl   # fold MoR deltas
+  ... job_main.py rebucket --table /data/tbl --buckets 256   # layout evolution
   ... job_main.py expire --table /data/tbl [--remove-orphans]
   ... job_main.py gc-tombstones --table /data/tbl --watermark N
 """
@@ -89,6 +90,11 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
              "lake.raw.retype_from_raw)",
     )
     t.add_argument(
+        "--mor-delta-budget", type=int, default=None,
+        help="merge-on-read tables: fold outstanding delta manifests "
+             "whenever they exceed this count (C8 valve; default never)",
+    )
+    t.add_argument(
         "--max-empty-polls", type=int, default=0,
         help="with --follow: stop + fail after N consecutive no-data "
              "triggers (C10 liveness; 0 = run forever)",
@@ -135,6 +141,15 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
              "(rewrites only delta-touched buckets)",
     )
     cd.add_argument("--table", required=True)
+
+    rb = sub.add_parser(
+        "rebucket",
+        help="change the bucket layout (partition evolution): one atomic "
+             "full rewrite into --buckets x --files-per-bucket",
+    )
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--buckets", type=int, required=True)
+    rb.add_argument("--files-per-bucket", type=int, default=None)
 
     e = sub.add_parser(
         "expire", help="drop old snapshots; optionally sweep orphan files"
@@ -200,6 +215,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             query_id=args.query_id,
             max_files_per_trigger=args.max_files,
             salt_buckets=args.salt,
+            mor_delta_budget=args.mor_delta_budget,
         )
         job_cls = JsonCdcIngestJob if args.json_payload else CdcIngestJob
         extra = {}
@@ -354,6 +370,10 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         t_ = LakeTable.load(spark, args.table)
         v = t_.compact_deltas()
         print(json.dumps({"compacted_to_version": v, "stats": t_.stats()}))
+    elif args.cmd == "rebucket":
+        t_ = LakeTable.load(spark, args.table)
+        v = t_.rebucket(args.buckets, files_per_bucket=args.files_per_bucket)
+        print(json.dumps({"rebucketed_to_version": v, "stats": t_.stats()}))
     elif args.cmd == "expire":
         t_ = LakeTable.load(spark, args.table)
         stats = t_.expire_snapshots(

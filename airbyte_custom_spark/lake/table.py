@@ -413,7 +413,7 @@ class LakeTable:
 
     # ---------------------------------------------------------------- read
 
-    def bucket_expr(self, df: DataFrame) -> F.Column:
+    def bucket_expr(self, df: DataFrame, num_buckets: int | None = None) -> F.Column:
         """Deterministic bucket of the bucket keys — a pure function of the
         key, so it never needs storing and readers can recompute it.
 
@@ -423,11 +423,14 @@ class LakeTable:
         operators/dedupe.py): when bucket_keys == the primary key and
         shuffle partitions P is a multiple of num_buckets, reducer
         partition p contains exactly bucket p % num_buckets and the merge's
-        reduce exchange doubles as the file-layout exchange."""
+        reduce exchange doubles as the file-layout exchange.
+
+        ``num_buckets`` overrides the committed layout — used by
+        ``rebucket`` to hash into the NEW layout while the table still
+        reads the old one."""
         keys = [F.col(k) for k in self.snapshot["bucket_keys"]]
-        return F.pmod(F.hash(F.xxhash64(*keys), *keys), F.lit(self.num_buckets)).cast(
-            "int"
-        )
+        n = self.num_buckets if num_buckets is None else num_buckets
+        return F.pmod(F.hash(F.xxhash64(*keys), *keys), F.lit(n)).cast("int")
 
     def _align(self, df: DataFrame, target: T.StructType) -> DataFrame:
         src = {f.name: f.dataType for f in df.schema.fields}
@@ -496,6 +499,53 @@ class LakeTable:
             df = df.select(*self.payload_columns)
         return df
 
+    def read_since(self, cursor: int, include_meta: bool = False) -> DataFrame:
+        """Incremental export: every key whose CURRENT winning version has
+        ``_lsn > cursor`` — upserts AND tombstones (``_deleted`` tells the
+        consumer which), the feed a downstream incremental sync consumes
+        (reference cursor-read semantics, `source-relational-db` S2, turned
+        outward at the sink).
+
+        Files are SKIPPED by the per-file ``_lsn`` min/max recorded in the
+        manifests at write time (Iceberg lower/upper-bounds pruning): a
+        file whose lsn_max ≤ cursor cannot contain a qualifying winner —
+        any row in it is either an old version of a key that was re-written
+        later (the winner lives in a kept file, since winners carry the
+        key's MAX lsn) or the winner of a key that didn't change (filtered
+        by the post-scan predicate anyway).  The same argument makes the
+        fold-over-pruned-subset correct with outstanding merge-on-read
+        deltas: pruned rows all have lsn ≤ cursor and can never beat a
+        qualifying winner.  At a 100-TB table with a daily export cursor,
+        this reads only the buckets' recent commits — O(changed data), not
+        O(table).
+
+        Output columns: payload + ``_lsn`` + ``_deleted`` (everything with
+        ``include_meta=True``)."""
+
+        def keep(e: dict[str, Any]) -> bool:
+            mx = e.get("lsn_max")
+            return mx is None or mx > cursor
+
+        files = [e for e in self.live_files() if keep(e)]
+        df = self._read_files(files)
+        deltas = [e for e in self.live_delta_files() if keep(e)]
+        if deltas:
+            df = df.unionByName(self._read_files(deltas))
+        if self.delta_refs:
+            from airbyte_custom_spark.operators.dedupe import latest_per_key
+
+            df = latest_per_key(
+                df, self.primary_key, order_col="_lsn", delete_col="_deleted"
+            )
+        out = df.filter(F.col("_lsn") > F.lit(int(cursor)))
+        if include_meta:
+            return out
+        return out.select(
+            *self.payload_columns,
+            F.col("_lsn"),
+            F.coalesce(F.col("_deleted"), F.lit(False)).alias("_deleted"),
+        )
+
     # ---------------------------------------------------------------- write
 
     def _commit(self, snapshot: dict[str, Any]) -> None:
@@ -541,7 +591,11 @@ class LakeTable:
         on an uncommitted version."""
         version = snap["version"]
         commit_dir = os.path.join(self.path, _DATA_DIR, f"v{version}")
-        out = df.withColumn("bucket", self.bucket_expr(df))
+        # layout parameters come from the snapshot being WRITTEN, not the
+        # committed one — identical everywhere except rebucket, where snap
+        # carries the new layout while self.snapshot still reads the old
+        n_buckets = int(snap.get("num_buckets", self.num_buckets))
+        out = df.withColumn("bucket", self.bucket_expr(df, n_buckets))
         fpb = int(snap.get("files_per_bucket", 1))
         if not layout_partitioned:
             if fpb > 1:
@@ -553,12 +607,12 @@ class LakeTable:
                 )
                 out = (
                     out.withColumn("_wsalt", salt)
-                    .repartition(self.num_buckets * fpb, "bucket", "_wsalt")
+                    .repartition(n_buckets * fpb, "bucket", "_wsalt")
                     .drop("_wsalt")
                 )
             else:
                 # co-locate each bucket into one task → one file per bucket
-                out = out.repartition(self.num_buckets, "bucket")
+                out = out.repartition(n_buckets, "bucket")
         out.write.mode("errorifexists").partitionBy("bucket").parquet(commit_dir)
         entries = self._manifest_entries(commit_dir, snap["current_schema_id"])
         return self._write_manifest(entries, version)
@@ -582,12 +636,36 @@ class LakeTable:
 
         def entry(item: tuple[str, int]) -> dict[str, Any]:
             full, bucket = item
+            md = pq.ParquetFile(full).metadata
+            # per-file _lsn min/max from the footer's row-group stats —
+            # the Iceberg manifest lower_bounds/upper_bounds analog.  Read
+            # once at write time (footers of THIS commit's files only);
+            # read_since() then skips whole files by manifest alone.
+            lsn_lo = lsn_hi = None
+            idx = next(
+                (
+                    i
+                    for i in range(md.num_columns)
+                    if md.row_group(0).column(i).path_in_schema == "_lsn"
+                ),
+                None,
+            ) if md.num_row_groups else None
+            if idx is not None:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        lsn_lo = lsn_hi = None
+                        break
+                    lsn_lo = st.min if lsn_lo is None else min(lsn_lo, st.min)
+                    lsn_hi = st.max if lsn_hi is None else max(lsn_hi, st.max)
             return {
                 "path": os.path.relpath(full, self.path),
                 "bucket": bucket,
                 "schema_id": sid,
-                "rows": pq.ParquetFile(full).metadata.num_rows,
+                "rows": md.num_rows,
                 "bytes": os.path.getsize(full),
+                "lsn_min": lsn_lo,
+                "lsn_max": lsn_hi,
             }
 
         if len(paths) <= 1:
@@ -1076,6 +1154,49 @@ class LakeTable:
         rows = self._read_files(self.live_files(to_rewrite))
         snap = self._next_snapshot("compact")
         snap["manifests"] = keep + [self._write_data(rows, snap)]
+        self._commit(snap)
+        return snap["version"]
+
+    def rebucket(
+        self, num_buckets: int, files_per_bucket: int | None = None
+    ) -> int:
+        """Change the bucket layout in one atomic commit — partition
+        evolution (Iceberg's ``ALTER TABLE ... WRITE DISTRIBUTED BY``
+        analog).  A layout sized at create time stops fitting as the table
+        grows: at 100 TB a 64-bucket table has ~1.5 TB buckets, far past
+        the one-task-per-bucket sweet spot, so the bucket count must be
+        able to grow WITH the table (ideally in multiples, e.g. 64 → 256,
+        though any count works — the bucket is a pure function of the key,
+        never stored, so readers recompute it per version).  Rewrites the
+        whole table ONCE (one exchange into the new layout), folds any
+        outstanding merge-on-read deltas in the same pass, and keeps
+        tombstones physical (gc_tombstones semantics unchanged).  Old
+        versions time-travel correctly: each snapshot carries its own
+        ``num_buckets``, and ``LakeTable.load(path, version=N)`` reads the
+        layout that version was written with.  Subsequent merges
+        pin their reduce exchange to the NEW layout automatically."""
+        if num_buckets < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+        fpb = max(
+            1,
+            int(self.snapshot.get("files_per_bucket", 1))
+            if files_per_bucket is None
+            else files_per_bucket,
+        )
+        if num_buckets == self.num_buckets and fpb == int(
+            self.snapshot.get("files_per_bucket", 1)
+        ):
+            return self.version
+        # read() folds outstanding MoR deltas with the delete-wins rule;
+        # keep tombstones so the gc watermark contract survives the rewrite
+        rows = self.read(include_deleted=True, include_meta=True)
+        snap = self._next_snapshot(
+            "rebucket",
+            num_buckets=num_buckets,
+            files_per_bucket=fpb,
+            deltas=[],
+        )
+        snap["manifests"] = [self._write_data(rows, snap)]
         self._commit(snap)
         return snap["version"]
 

@@ -302,6 +302,16 @@ class CdcIngestJob:
         finally:
             if persisted is not None:
                 persisted.unpersist()
+        # C8 valve for merge-on-read tables: fold outstanding deltas once
+        # they exceed the configured budget — stats() is a snapshot-rollup
+        # read (zero file I/O), so the check costs nothing per batch
+        budget = self.config.mor_delta_budget
+        if (
+            budget is not None
+            and not result.skipped
+            and table.stats().get("delta_files", 0) > budget
+        ):
+            table.compact_deltas()
         elapsed = time.monotonic() - start
         n = sum(r["events"] for r in stats) - ignored
         self.metrics.record(

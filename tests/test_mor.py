@@ -225,3 +225,33 @@ def test_mor_generator_scale_parity(spark, tmp_path):
     b = sorted(map(tuple, mor.read().select(cols).collect()))
     assert a == b
     ev_df.unpersist()
+
+
+def test_mor_streaming_delta_budget(spark, tmp_path):
+    """C8 valve in the streaming tail: with mor_delta_budget set, the job
+    folds outstanding deltas whenever they exceed the budget, so the table
+    never accumulates unbounded read amplification — and the final state
+    is still the exact replay."""
+    from airbyte_custom_spark.config import IngestConfig
+    from airbyte_custom_spark.sources.generator import (
+        change_events,
+        write_event_chunks,
+    )
+    from airbyte_custom_spark.streaming.pipeline import CdcIngestJob
+
+    events = change_events(spark, 3000, n_convs=40, max_turns=6)
+    src = str(tmp_path / "seg")
+    write_event_chunks(events, src, n_chunks=6)
+    t = mor_table(spark, tmp_path, "tbl")
+    job = CdcIngestJob(
+        spark, t.path, src, str(tmp_path / "ckpt"),
+        IngestConfig(max_files_per_trigger=1, mor_delta_budget=1),
+    )
+    job.run_available_now()
+    t = LakeTable.load(spark, t.path)
+    # 6 MoR merges with budget 1: deltas were folded along the way
+    assert t.stats()["delta_files"] <= 2
+    assert any(
+        s["operation"] == "compact-deltas" for s in t.history()
+    )
+    assert_matches_replay(t.read(), events)
