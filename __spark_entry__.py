@@ -149,6 +149,29 @@ def q_rebucket_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _final_payload(t.read())
 
 
+def q_changelog_between_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog scan (`changes_since`): the net i/u/d feed between two
+    snapshot versions — what a downstream replica applies to catch up
+    (Iceberg changelog-scan analog).  Keys created-and-deleted between
+    the versions net to nothing."""
+    ev = events_from_table(spark, sf_dir)
+    hi = ev.agg(F.max("lsn")).first()[0] or 0
+    t = LakeTable.create(
+        spark, _fresh_dir("changelog"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    cut = 2 * hi // 3
+    t.merge(ev.filter(F.col("lsn") <= cut), batch_id=0)
+    v_from = t.version
+    t.merge(ev.filter(F.col("lsn") > cut), batch_id=1)
+    out = t.changes_since(v_from)
+    return out.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("_lsn").alias("lsn"),
+        "change_op",
+    )
+
+
 def q_incremental_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downstream incremental export (`read_since`): keys whose CURRENT
     winning version landed after a cursor — upserts AND tombstones, the
@@ -1177,6 +1200,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state_incremental": q_cdc_final_state_incremental,
         "mor_final_state": q_mor_final_state,
         "rebucket_final_state": q_rebucket_final_state,
+        "changelog_between_versions": q_changelog_between_versions,
         "incremental_export": q_incremental_export,
         "time_travel_final_state": q_time_travel_final_state,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
@@ -1260,6 +1284,41 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state_incremental": _ORACLE_FINAL,
         "mor_final_state": _ORACLE_FINAL,
         "rebucket_final_state": _ORACLE_FINAL,
+        # net i/u/d between the 2/3-prefix state and the full replay:
+        # new winners classified by liveness in the old state; a key
+        # created and deleted between versions nets to nothing
+        "changelog_between_versions": f"""
+            WITH ev0 AS ({ev}),
+            ranked_new AS (
+              SELECT ev0.*, row_number() OVER (
+                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+              FROM ev0
+            ),
+            old_ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+              FROM ev0
+              WHERE lsn <= (2 * (SELECT max(lsn) FROM ev0)) // 3
+            ),
+            old_live AS (
+              SELECT conv_id, turn_idx FROM old_ranked
+              WHERE rn = 1 AND op <> 'd'
+            ),
+            new_winners AS (
+              SELECT * FROM ranked_new
+              WHERE rn = 1
+                AND lsn > (2 * (SELECT max(lsn) FROM ev0)) // 3
+            )
+            SELECT n.conv_id, n.turn_idx, n.role, n.text, n.tool,
+                   epoch_us(n.ts) AS ts_us, n.lsn,
+                   CASE WHEN n.op = 'd' THEN 'd'
+                        WHEN o.conv_id IS NOT NULL THEN 'u'
+                        ELSE 'i' END AS change_op
+            FROM new_winners n
+            LEFT JOIN old_live o
+              ON n.conv_id = o.conv_id AND n.turn_idx = o.turn_idx
+            WHERE NOT (n.op = 'd' AND o.conv_id IS NULL)
+        """,
         # winners (incl. delete winners) strictly after the 2/3 cursor —
         # the read_since export feed
         "incremental_export": f"""

@@ -22,6 +22,7 @@ Usage (local or cluster; package shipped via --py-files):
   ... job_main.py compact --table /data/tbl
   ... job_main.py compact-deltas --table /data/tbl   # fold MoR deltas
   ... job_main.py rebucket --table /data/tbl --buckets 256   # layout evolution
+  ... job_main.py changes --table /data/tbl --since-version N [--out /data/feed]
   ... job_main.py expire --table /data/tbl [--remove-orphans]
   ... job_main.py gc-tombstones --table /data/tbl --watermark N
 """
@@ -150,6 +151,16 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     rb.add_argument("--table", required=True)
     rb.add_argument("--buckets", type=int, required=True)
     rb.add_argument("--files-per-bucket", type=int, default=None)
+
+    cg = sub.add_parser(
+        "changes",
+        help="changelog scan: net i/u/d rows between --since-version and "
+             "the current version (downstream replica catch-up feed)",
+    )
+    cg.add_argument("--table", required=True)
+    cg.add_argument("--since-version", type=int, required=True)
+    cg.add_argument("--out", default=None, help="parquet dir (else print)")
+    cg.add_argument("--limit", type=int, default=20)
 
     e = sub.add_parser(
         "expire", help="drop old snapshots; optionally sweep orphan files"
@@ -374,6 +385,15 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         t_ = LakeTable.load(spark, args.table)
         v = t_.rebucket(args.buckets, files_per_bucket=args.files_per_bucket)
         print(json.dumps({"rebucketed_to_version": v, "stats": t_.stats()}))
+    elif args.cmd == "changes":
+        t_ = LakeTable.load(spark, args.table)
+        ch = t_.changes_since(args.since_version)
+        if args.out:
+            ch.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"rows": spark.read.parquet(args.out).count(),
+                              "out": args.out}))
+        else:
+            ch.show(args.limit, truncate=False)
     elif args.cmd == "expire":
         t_ = LakeTable.load(spark, args.table)
         stats = t_.expire_snapshots(

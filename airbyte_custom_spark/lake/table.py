@@ -546,6 +546,62 @@ class LakeTable:
             F.coalesce(F.col("_deleted"), F.lit(False)).alias("_deleted"),
         )
 
+    def changes_since(self, version: int) -> DataFrame:
+        """CDC turned outward: the NET changes between snapshot ``version``
+        and this table's loaded version, classified ``change_op`` ∈
+        {'i','u','d'} — the Iceberg changelog-scan analog, what a
+        downstream replica applies to catch up (reference semantics: the
+        same insert/update/delete stream the engine consumes, re-emitted
+        from the sink).
+
+        Key present now but not live at ``version`` → 'i'; live at both →
+        'u' (a newer winning version exists — value equality is not
+        checked, matching CDC semantics); tombstoned now but live then →
+        'd'.  A key created AND deleted between the two versions nets to
+        nothing and is not emitted.
+
+        Scale shape: the cursor is the old version's high `_lsn`, read
+        from manifest rollups when available (zero I/O); candidates come
+        from ``read_since`` (file-skipped, O(changed data)); liveness at
+        the old version is a pk-pruned scan of the old snapshot
+        leftsemi-joined against the (small, broadcast) changed-key set,
+        then broadcast back — the big side never crosses an exchange."""
+        old = LakeTable.load(self.spark, self.path, version=version)
+        highs = [
+            e.get("lsn_max")
+            for e in old.live_files() + old.live_delta_files()
+        ]
+        if highs and all(h is not None for h in highs):
+            cursor = max(highs)
+        else:  # pre-stats manifests: one column-pruned scan
+            cursor = (
+                old.read(include_deleted=True, include_meta=True)
+                .agg(F.max("_lsn"))
+                .first()[0]
+                or 0
+            )
+        pk = self.primary_key
+        changed = self.read_since(int(cursor))
+        was_live = (
+            old.read()
+            .select(*pk)
+            .join(F.broadcast(changed.select(*pk)), on=pk, how="leftsemi")
+            .withColumn("_was_live", F.lit(True))
+        )
+        out = changed.join(F.broadcast(was_live), on=pk, how="left")
+        live_before = F.coalesce(F.col("_was_live"), F.lit(False))
+        return (
+            out.withColumn(
+                "change_op",
+                F.when(F.col("_deleted") & live_before, F.lit("d"))
+                .when(~F.col("_deleted") & live_before, F.lit("u"))
+                .when(~F.col("_deleted") & ~live_before, F.lit("i")),
+            )
+            # created-then-deleted between versions: no net change
+            .filter(F.col("change_op").isNotNull())
+            .drop("_was_live", "_deleted")
+        )
+
     # ---------------------------------------------------------------- write
 
     def _commit(self, snapshot: dict[str, Any]) -> None:

@@ -355,9 +355,39 @@ class CdcIngestJob:
 
     # --------------------------------------------------------------- runs
 
+    def _check_target_marker(self) -> None:
+        """A checkpoint that ran a target-position bounded run is TERMINAL
+        at that target: the straddling source file is consumed with its
+        post-target events filtered out (`_apply_batch`), so resuming the
+        SAME checkpoint past the target would silently skip those events.
+        Debezium stops reading AT the target position so nothing beyond it
+        is ever consumed (`DebeziumRecordIterator` target-position stop);
+        a file source consumes whole files — this marker turns that
+        granularity gap from silent loss into a loud error.  Recovery: a
+        fresh checkpoint — full replay is safe, the merge is idempotent
+        by (key, lsn)."""
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        marker = os.path.join(self.checkpoint_dir, "target_lsn.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                bound = json.load(f)["target_lsn"]
+            if self.target_lsn is None or self.target_lsn > bound:
+                raise ValueError(
+                    f"checkpoint {self.checkpoint_dir!r} ran a bounded tail "
+                    f"with target_lsn={bound}; events beyond it in already-"
+                    "consumed files were filtered out, so resuming past the "
+                    "target would silently skip them — start a fresh "
+                    "checkpoint (replay is safe: the merge is idempotent "
+                    "by key and lsn)"
+                )
+        elif self.target_lsn is not None:
+            with open(marker, "w") as f:
+                json.dump({"target_lsn": self.target_lsn}, f)
+
     def run_available_now(self, timeout_sec: int = 600) -> BatchMetricsLog:
         """Bounded tail: drain everything present at start, then stop —
         the target-position bounded run (S7/C3)."""
+        self._check_target_marker()
         q = (
             self._source_stream()
             .writeStream.foreachBatch(self._apply_batch)
@@ -381,6 +411,7 @@ class CdcIngestJob:
 
     def start(self, processing_time: str = "1 second"):
         """Continuous tail (unbounded); caller manages the query handle."""
+        self._check_target_marker()
         return (
             self._source_stream()
             .writeStream.foreachBatch(self._apply_batch)

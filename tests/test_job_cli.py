@@ -113,3 +113,24 @@ def test_cli_mor_lifecycle(spark, tmp_path, capsys):
     a = LakeTable.load(spark, mor).read().orderBy("conv_id", "turn_idx")
     b = LakeTable.load(spark, cow).read().orderBy("conv_id", "turn_idx")
     assert a.collect() == b.collect()
+
+
+def test_cli_changes_feed(spark, tmp_path, capsys):
+    """changes subcommand: i/u/d feed between versions → parquet.  From
+    the empty v0 everything live is an insert and every net-deleted key
+    is absent (classification itself is covered in test_read_since)."""
+    seg = str(tmp_path / "seg_ch")
+    tbl = str(tmp_path / "tbl_ch")
+    run(capsys, "gen", "--out", seg, "--events", "1000", "--chunks", "2")
+    run(capsys, "init", "--table", tbl, "--buckets", "2")
+    run(capsys, "tail", "--table", tbl, "--source", seg,
+        "--checkpoint", str(tmp_path / "ck1"))
+    out = str(tmp_path / "feed")
+    r = run(capsys, "changes", "--table", tbl, "--since-version", "0",
+            "--out", out)
+    feed = spark.read.parquet(out)
+    n_live = LakeTable.load(spark, tbl).read().count()
+    assert r["rows"] == feed.count() == n_live > 0
+    assert set(
+        feed.select("change_op").distinct().toPandas()["change_op"]
+    ) == {"i"}

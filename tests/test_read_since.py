@@ -104,3 +104,59 @@ def test_read_since_after_compact_and_rebucket(spark, tmp_path):
     t.rebucket(5)
     assert _export(t, 10) == expected
     assert all(e["lsn_max"] is not None for e in t.live_files())
+
+
+def _changes(t, v):
+    return {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["change_op"])
+        for r in t.changes_since(v).collect()
+    }
+
+
+def test_changes_since_classification(spark, tmp_path):
+    """i/u/d classification plus the created-then-deleted net-zero case."""
+    t = _table(spark, tmp_path)
+    t.merge(mk_events(spark, [ev(1, "c", "a", 0), ev(2, "c", "b", 0)]),
+            batch_id=0)
+    v = t.version
+    t.merge(mk_events(spark, [
+        ev(10, "u", "a", 0, text="upd-a"),   # live before → u
+        ev(11, "d", "b", 0),                 # live before, deleted → d
+        ev(12, "c", "c", 0, text="new-c"),   # not live before → i
+        ev(13, "c", "e", 0), ev(14, "d", "e", 0),  # net zero → absent
+    ]), batch_id=1)
+    assert _changes(t, v) == {
+        ("a", 0): ("upd-a", "u"),
+        ("b", 0): (None, "d"),
+        ("c", 0): ("new-c", "i"),
+    }
+    # no changes since the current version
+    assert _changes(t, t.version) == {}
+
+
+def test_changes_since_mor_and_rebucket(spark, tmp_path):
+    """The changelog is write-mode- and layout-independent: MoR deltas
+    and a rebucket between the versions don't change the feed."""
+    t = _table(spark, tmp_path, write_mode="mor")
+    t.merge(mk_events(spark, [ev(1, "c", "a", 0), ev(2, "c", "b", 0)]),
+            batch_id=0)
+    v = t.version
+    t.merge(mk_events(spark, [ev(10, "u", "a", 0, text="x"),
+                              ev(11, "d", "b", 0)]), batch_id=1)
+    expected = {("a", 0): ("x", "u"), ("b", 0): (None, "d")}
+    assert _changes(t, v) == expected
+    t.rebucket(6)  # folds deltas, rewrites layout — feed must not change
+    assert _changes(t, v) == expected
+
+
+def test_changes_since_plan_broadcasts_small_side(spark, tmp_path):
+    """The old snapshot (big side) is never shuffled: both joins resolve
+    as broadcast exchanges in the physical plan."""
+    t = _table(spark, tmp_path)
+    t.merge(mk_events(spark, [ev(i, "c", f"k{i}", 0) for i in range(1, 20)]),
+            batch_id=0)
+    v = t.version
+    t.merge(mk_events(spark, [ev(100, "u", "k1", 0)]), batch_id=1)
+    plan = t.changes_since(v)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

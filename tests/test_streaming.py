@@ -218,3 +218,41 @@ def test_batch_reread_survives_compacted_source_log(spark, tmp_path):
         assert "FileScan parquet" in plan, (bid, plan[:300])
         assert "Scan ExistingRDD" not in plan, bid
     assert_matches_replay(LakeTable.load(spark, table.path).read(), events)
+
+
+def test_target_lsn_checkpoint_is_terminal(spark, tmp_path):
+    """A checkpoint used for a bounded run refuses to resume PAST the
+    target: the straddling file was consumed with post-target events
+    filtered, so an unbounded resume would silently skip them.  Same
+    target resumes fine; a fresh checkpoint recovers the full state."""
+    import pytest
+
+    events = change_events(spark, 6000, n_convs=60, max_turns=5)
+    src = str(tmp_path / "seg")
+    write_event_chunks(events, src, n_chunks=3)
+    table = LakeTable.create(
+        spark, str(tmp_path / "tbl"), TRANSCRIPT_SCHEMA, num_buckets=4
+    )
+    ckpt = str(tmp_path / "ckpt")
+    CdcIngestJob(
+        spark, table.path, src, ckpt, IngestConfig(), target_lsn=3000
+    ).run_available_now()
+    assert_matches_replay(
+        LakeTable.load(spark, table.path).read(), events.filter("lsn <= 3000")
+    )
+    # resume same checkpoint without (or past) the target → loud error
+    with pytest.raises(ValueError, match="bounded tail"):
+        CdcIngestJob(spark, table.path, src, ckpt, IngestConfig()).run_available_now()
+    with pytest.raises(ValueError, match="bounded tail"):
+        CdcIngestJob(
+            spark, table.path, src, ckpt, IngestConfig(), target_lsn=5000
+        ).run_available_now()
+    # same target: safe no-op resume
+    CdcIngestJob(
+        spark, table.path, src, ckpt, IngestConfig(), target_lsn=3000
+    ).run_available_now()
+    # recovery: fresh checkpoint replays everything — idempotent merge
+    CdcIngestJob(
+        spark, table.path, src, str(tmp_path / "ckpt2"), IngestConfig()
+    ).run_available_now()
+    assert_matches_replay(LakeTable.load(spark, table.path).read(), events)
