@@ -128,9 +128,20 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     s = sub.add_parser("show", help="print final table rows")
     s.add_argument("--table", required=True)
     s.add_argument("--limit", type=int, default=20)
+    s.add_argument("--tag", default=None, help="read the tagged snapshot")
 
     h = sub.add_parser("history", help="print snapshot history")
     h.add_argument("--table", required=True)
+
+    tg = sub.add_parser(
+        "tag", help="named snapshot pins: tagged versions survive expire"
+    )
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", default=None, help="tag to create/move")
+    tg.add_argument("--version", type=int, default=None,
+                    help="version to pin (default: current)")
+    tg.add_argument("--drop", default=None, help="tag to remove")
+    tg.add_argument("--list", action="store_true", help="print all tags")
 
     c = sub.add_parser("compact", help="rewrite fragmented buckets")
     c.add_argument("--table", required=True)
@@ -323,8 +334,18 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             )
         )
     elif args.cmd == "show":
-        t_ = LakeTable.load(spark, args.table)
+        t_ = LakeTable.load(spark, args.table, tag=args.tag)
         t_.read().orderBy("conv_id", "turn_idx").show(args.limit, truncate=False)
+    elif args.cmd == "tag":
+        t_ = LakeTable.load(spark, args.table)
+        if args.drop:
+            t_.drop_tag(args.drop)
+            print(json.dumps({"dropped": args.drop, "tags": t_.tags()}))
+        elif args.name:
+            v = t_.tag(args.name, version=args.version)
+            print(json.dumps({"tag": args.name, "version": v}))
+        else:
+            print(json.dumps({"tags": t_.tags()}))
     elif args.cmd == "history":
         t_ = LakeTable.load(spark, args.table)
         print(json.dumps(t_.history(), indent=1, default=str))

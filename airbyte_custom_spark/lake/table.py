@@ -97,6 +97,7 @@ from airbyte_custom_spark.schema import with_meta_columns
 _META_DIR = "_meta"
 _DATA_DIR = "data"
 _VERSION_FILE = "VERSION"
+_TAGS_FILE = "TAGS.json"
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -212,7 +213,22 @@ class LakeTable:
         return t
 
     @staticmethod
-    def load(spark: SparkSession, path: str, version: int | None = None) -> "LakeTable":
+    def load(
+        spark: SparkSession,
+        path: str,
+        version: int | None = None,
+        tag: str | None = None,
+    ) -> "LakeTable":
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            tags = LakeTable._read_tags(path)
+            if tag not in tags:
+                raise ValueError(
+                    f"unknown tag {tag!r} on table {path!r} "
+                    f"(have: {sorted(tags)})"
+                )
+            version = tags[tag]
         if version is None:
             with open(os.path.join(path, _META_DIR, _VERSION_FILE)) as f:
                 version = int(f.read().strip())
@@ -227,6 +243,48 @@ class LakeTable:
                 "this engine reads only sharded-manifest snapshots"
             )
         return LakeTable(spark, path, snap)
+
+    # ------------------------------------------------------------------ tags
+
+    @staticmethod
+    def _read_tags(path: str) -> dict[str, int]:
+        p = os.path.join(path, _META_DIR, _TAGS_FILE)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot pins (Iceberg tag analog): tag → version."""
+        return self._read_tags(self.path)
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``version`` (default: the loaded one) under ``name``.  A
+        tagged snapshot is RETAINED by ``expire_snapshots`` regardless of
+        ``retain_last`` — the Iceberg tag semantic: audits, training-set
+        releases, and rollback points survive routine expiry.  Re-tagging
+        an existing name moves it (last write wins; atomic replace)."""
+        v = self.version if version is None else int(version)
+        snap_file = os.path.join(self.path, _META_DIR, f"snap-v{v}.json")
+        if not os.path.exists(snap_file):
+            raise ValueError(f"cannot tag: version {v} does not exist")
+        tags = self._read_tags(self.path)
+        tags[name] = v
+        self._write_tags(tags)
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        tags = self._read_tags(self.path)
+        if name in tags:
+            del tags[name]
+            self._write_tags(tags)
+
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        meta = os.path.join(self.path, _META_DIR)
+        tmp = os.path.join(meta, f".TAGS.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(tags, f, indent=1)
+        os.replace(tmp, os.path.join(meta, _TAGS_FILE))
 
     # ---------------------------------------------------- manifest resolution
 
@@ -1286,6 +1344,9 @@ class LakeTable:
         )
         retained = set(versions[-retain_last:])
         retained.add(self.version)  # never expire the current pointer
+        # tagged snapshots are pinned (Iceberg tag semantic): a release
+        # or audit tag survives routine expiry until the tag is dropped
+        retained.update(self._read_tags(self.path).values())
         expired = [v for v in versions if v not in retained]
 
         def _snapshot(v: int) -> dict[str, Any]:
