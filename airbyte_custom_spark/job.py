@@ -143,6 +143,15 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     tg.add_argument("--drop", default=None, help="tag to remove")
     tg.add_argument("--list", action="store_true", help="print all tags")
 
+    rbk = sub.add_parser(
+        "rollback",
+        help="restore table state to an earlier version/tag as a NEW "
+             "head commit (metadata-only; history stays linear)",
+    )
+    rbk.add_argument("--table", required=True)
+    rbk.add_argument("--version", type=int, default=None)
+    rbk.add_argument("--tag", default=None)
+
     c = sub.add_parser("compact", help="rewrite fragmented buckets")
     c.add_argument("--table", required=True)
     c.add_argument("--min-files", type=int, default=2)
@@ -346,6 +355,13 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             print(json.dumps({"tag": args.name, "version": v}))
         else:
             print(json.dumps({"tags": t_.tags()}))
+    elif args.cmd == "rollback":
+        t_ = LakeTable.load(spark, args.table)
+        v = t_.rollback(version=args.version, tag=args.tag)
+        print(json.dumps({
+            "rolled_back_to": t_.snapshot.get("rollback_of", v),
+            "new_head": v,
+        }))
     elif args.cmd == "history":
         t_ = LakeTable.load(spark, args.table)
         print(json.dumps(t_.history(), indent=1, default=str))

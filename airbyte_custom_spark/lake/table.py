@@ -279,6 +279,60 @@ class LakeTable:
             del tags[name]
             self._write_tags(tags)
 
+    def rollback(self, version: int | None = None, tag: str | None = None) -> int:
+        """Restore the table's CURRENT state to an earlier snapshot by
+        committing a NEW head that is a metadata-only copy of the target
+        (no data I/O — files are carried by reference, exactly like a
+        merge's untouched-file carryover).  Iceberg ``rollback_to_snapshot``
+        semantics (`IcebergConsumer.java:210-224` maintenance family) with
+        LINEAR history: the rolled-past versions stay readable for audit /
+        time travel until expired, and the optimistic-commit protocol is
+        untouched because no version number is ever reused.
+
+        State semantics: the new head carries the target's applied-batch
+        manifest and ``applied_lsn_high``, so batches that landed AFTER the
+        target are no longer marked applied — replaying them (the normal
+        recovery move after a rollback) is accepted, not skipped.
+
+        Returns the new head version."""
+        if (version is None) == (tag is None):
+            raise ValueError("pass exactly one of version / tag")
+        if tag is not None:
+            tags = self._read_tags(self.path)
+            if tag not in tags:
+                raise ValueError(
+                    f"unknown tag {tag!r} on table {self.path!r} "
+                    f"(have: {sorted(tags)})"
+                )
+            version = tags[tag]
+        version = int(version)
+        if version == self.version:
+            return self.version
+        if version > self.version:
+            raise ValueError(
+                f"cannot roll back FORWARD: target v{version} is newer "
+                f"than the loaded head v{self.version}"
+            )
+        snap_file = os.path.join(self.path, _META_DIR, f"snap-v{version}.json")
+        if not os.path.exists(snap_file):
+            raise ValueError(
+                f"cannot roll back: version {version} does not exist "
+                "(already expired?)"
+            )
+        with open(snap_file) as f:
+            target = json.load(f)
+        # reuse _next_snapshot's optimistic fail-fast, then graft the
+        # target's full content onto the new head
+        head = self._next_snapshot("rollback")
+        snap = json.loads(json.dumps(target))
+        snap["parent"] = head["parent"]
+        snap["version"] = head["version"]
+        snap["operation"] = "rollback"
+        snap["rollback_of"] = version
+        snap["lineage"] = []
+        self._commit(snap)
+        return snap["version"]
+
     def _write_tags(self, tags: dict[str, int]) -> None:
         meta = os.path.join(self.path, _META_DIR)
         tmp = os.path.join(meta, f".TAGS.{uuid.uuid4().hex}")
