@@ -152,6 +152,27 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     rbk.add_argument("--version", type=int, default=None)
     rbk.add_argument("--tag", default=None)
 
+    au = sub.add_parser(
+        "audit",
+        help="audit a (staged) version: rows, pk dups, null pks, row "
+             "delta vs parent (write-audit-publish read half)",
+    )
+    au.add_argument("--table", required=True)
+    au.add_argument("--version", type=int, default=None)
+
+    pb = sub.add_parser(
+        "publish",
+        help="atomically publish a staged snapshot (write-audit-publish)",
+    )
+    pb.add_argument("--table", required=True)
+    pb.add_argument("--version", type=int, required=True)
+
+    ab = sub.add_parser(
+        "abandon", help="delete a staged snapshot that failed its audit"
+    )
+    ab.add_argument("--table", required=True)
+    ab.add_argument("--version", type=int, required=True)
+
     c = sub.add_parser("compact", help="rewrite fragmented buckets")
     c.add_argument("--table", required=True)
     c.add_argument("--min-files", type=int, default=2)
@@ -362,6 +383,15 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             "rolled_back_to": t_.snapshot.get("rollback_of", v),
             "new_head": v,
         }))
+    elif args.cmd == "audit":
+        t_ = LakeTable.load(spark, args.table)
+        print(json.dumps(t_.audit(version=args.version), default=str))
+    elif args.cmd == "publish":
+        t_ = LakeTable.load(spark, args.table)
+        print(json.dumps({"published": t_.publish(args.version)}))
+    elif args.cmd == "abandon":
+        t_ = LakeTable.load(spark, args.table)
+        print(json.dumps(t_.abandon_staged(args.version)))
     elif args.cmd == "history":
         t_ = LakeTable.load(spark, args.table)
         print(json.dumps(t_.history(), indent=1, default=str))

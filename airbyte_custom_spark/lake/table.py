@@ -77,6 +77,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from contextlib import contextmanager
@@ -115,6 +116,7 @@ class MergeResult:
     touched_buckets: list[int] = field(default_factory=list)
     carried_files: int = 0
     written_files: int = 0
+    published: bool = True  # False = staged (write-audit-publish)
 
 
 
@@ -332,6 +334,131 @@ class LakeTable:
         snap["lineage"] = []
         self._commit(snap)
         return snap["version"]
+
+    # ------------------------------------------------------- write-audit-publish
+
+    def publish(self, version: int) -> int:
+        """Swing the table pointer to a STAGED snapshot (written by
+        ``merge(..., publish=False)``) — the commit half of the Iceberg
+        write-audit-publish pattern (``spark.wap.id`` + cherrypick): data
+        and snapshot metadata are already durable, so publish is one
+        atomic pointer replace, after the audit has read the staged
+        version via ``load(version=...)`` / ``audit()``.
+
+        Refuses if the table moved since the stage was cut (the staged
+        snapshot's parent is no longer current) — same optimistic rule as
+        every commit."""
+        snap_file = os.path.join(self.path, _META_DIR, f"snap-v{version}.json")
+        if not os.path.exists(snap_file):
+            raise ValueError(f"no staged snapshot v{version}")
+        with open(snap_file) as f:
+            snap = json.load(f)
+        with open(os.path.join(self.path, _META_DIR, _VERSION_FILE)) as f:
+            current = int(f.read().strip())
+        if version <= current:
+            raise ValueError(f"v{version} is already published (head v{current})")
+        if snap["parent"] != current:
+            raise ConcurrentCommitError(
+                f"staged v{version} was cut against v{snap['parent']} but the "
+                f"table is at v{current} — abandon and re-stage"
+            )
+        self._swing_pointer(version)
+        self.snapshot = snap
+        return version
+
+    def abandon_staged(self, version: int) -> dict[str, int]:
+        """Delete a staged snapshot that failed its audit: remove the data
+        files and manifest shards THIS stage wrote (anything not referenced
+        by its parent), then its snapshot descriptor.  The published chain
+        is untouched."""
+        meta = os.path.join(self.path, _META_DIR)
+        snap_file = os.path.join(meta, f"snap-v{version}.json")
+        if not os.path.exists(snap_file):
+            raise ValueError(f"no staged snapshot v{version}")
+        with open(snap_file) as f:
+            snap = json.load(f)
+        with open(os.path.join(meta, _VERSION_FILE)) as f:
+            current = int(f.read().strip())
+        if version <= current:
+            raise ValueError(
+                f"v{version} is published (head v{current}) — use rollback, "
+                "not abandon"
+            )
+        parent_file = os.path.join(meta, f"snap-v{snap['parent']}.json")
+        with open(parent_file) as f:
+            parent = json.load(f)
+        keep_manifests = {
+            r["path"] for r in parent.get("manifests", []) + parent.get("deltas", [])
+        }
+        keep_files: set[str] = set()
+        for ref in parent.get("manifests", []) + parent.get("deltas", []):
+            keep_files.update(e["path"] for e in self._load_manifest(ref))
+        removed_files = removed_manifests = 0
+        for ref in snap.get("manifests", []) + snap.get("deltas", []):
+            if ref["path"] in keep_manifests:
+                continue
+            for e in self._load_manifest(ref):
+                if e["path"] not in keep_files:
+                    full = os.path.join(self.path, e["path"])
+                    if os.path.exists(full):
+                        os.remove(full)
+                        removed_files += 1
+            full = os.path.join(self.path, ref["path"])
+            if os.path.exists(full):
+                os.remove(full)
+                removed_manifests += 1
+        # a stage's entire output lives under its own data/v<N> commit dir
+        # (parent files are carried by reference from OTHER version dirs) —
+        # drop the tree so re-staging the corrected batch can reuse the
+        # version number without a PATH_ALREADY_EXISTS collision
+        commit_dir = os.path.join(self.path, _DATA_DIR, f"v{version}")
+        shutil.rmtree(commit_dir, ignore_errors=True)
+        os.remove(snap_file)
+        self._manifest_cache = {}
+        return {"removed_files": removed_files, "removed_manifests": removed_manifests}
+
+    def audit(self, version: int | None = None) -> dict[str, Any]:
+        """Audit a (typically staged) version: visible row count,
+        primary-key duplicate count, NULL-pk rows, and the visible-row
+        delta vs the snapshot's parent.  The read half of
+        write-audit-publish — one aggregation over the audited version
+        plus one count over its parent."""
+        from functools import reduce
+
+        t = LakeTable.load(self.spark, self.path, version=version)
+        pk = [F.col(k) for k in t.primary_key]
+        row = (
+            t.read()
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                (F.count(F.lit(1)) - F.count_distinct(*pk)).alias("pk_dups"),
+                F.sum(
+                    F.when(
+                        reduce(lambda a, b: a | b, [p.isNull() for p in pk]),
+                        1,
+                    ).otherwise(0)
+                ).alias("null_pk_rows"),
+            )
+            .first()
+        )
+        parent_v = t.snapshot.get("parent")
+        parent_rows = None
+        if parent_v is not None:
+            pfile = os.path.join(self.path, _META_DIR, f"snap-v{parent_v}.json")
+            if os.path.exists(pfile):
+                parent_rows = (
+                    LakeTable.load(self.spark, self.path, version=parent_v)
+                    .read()
+                    .count()
+                )
+        return {
+            "version": t.version,
+            "rows": row["rows"],
+            "pk_dups": row["pk_dups"],
+            "null_pk_rows": int(row["null_pk_rows"] or 0),
+            "parent_rows": parent_rows,
+            "row_delta": None if parent_rows is None else row["rows"] - parent_rows,
+        }
 
     def _write_tags(self, tags: dict[str, int]) -> None:
         meta = os.path.join(self.path, _META_DIR)
@@ -734,12 +861,19 @@ class LakeTable:
         self.snapshot = snapshot
 
     def _write_snapshot(self, snapshot: dict[str, Any]) -> None:
+        self._write_snapshot_file(snapshot)
+        self._swing_pointer(snapshot["version"])
+
+    def _write_snapshot_file(self, snapshot: dict[str, Any]) -> None:
         meta = os.path.join(self.path, _META_DIR)
         with open(os.path.join(meta, f"snap-v{snapshot['version']}.json"), "w") as f:
             json.dump(snapshot, f, indent=1)
+
+    def _swing_pointer(self, version: int) -> None:
+        meta = os.path.join(self.path, _META_DIR)
         tmp = os.path.join(meta, f".VERSION.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
-            f.write(str(snapshot["version"]))
+            f.write(str(version))
         os.replace(tmp, os.path.join(meta, _VERSION_FILE))
 
     def _write_data(
@@ -1001,6 +1135,7 @@ class LakeTable:
         touched_buckets: list[int] | None = None,
         pin_exchange: bool = True,
         mode: str | None = None,
+        publish: bool = True,
     ) -> MergeResult:
         """Apply a batch of CDC events (payload + lsn + op [+ _ab_cdc_*]).
 
@@ -1046,6 +1181,7 @@ class LakeTable:
                 lineage=lineage,
                 validate_pk=validate_pk,
                 pin_exchange=pin_exchange,
+                publish=publish,
             )
         if batch_id is not None and batch_id <= self.last_committed_batch(query_id):
             return MergeResult(version=None, skipped=True)
@@ -1106,12 +1242,18 @@ class LakeTable:
             snap["applied"] = {**self.snapshot["applied"], query_id: batch_id}
         if lineage is not None:
             self._apply_lineage(snap, lineage)
-        self._commit(snap)
+        if publish:
+            self._commit(snap)
+        else:
+            # write-audit-publish: durable snapshot, pointer unmoved —
+            # readers keep seeing the parent until publish(version)
+            self._write_snapshot_file(snap)
         return MergeResult(
             version=snap["version"],
             touched_buckets=sorted(touched),
             carried_files=self._ref_files(carried),
             written_files=self._ref_files([new_ref]),
+            published=publish,
         )
 
     def _merged_frame(self, rows: DataFrame, tgt: DataFrame) -> DataFrame:
@@ -1140,6 +1282,7 @@ class LakeTable:
         lineage: list[dict[str, Any]] | None,
         validate_pk: bool,
         pin_exchange: bool,
+        publish: bool = True,
     ) -> MergeResult:
         """Merge-on-read apply: reduce the BATCH to one row per key (same
         greatest-(lsn, is_delete) delete-wins rule as the CoW merge) and
@@ -1183,12 +1326,16 @@ class LakeTable:
         if lineage is not None:
             self._apply_lineage(snap, lineage)
         carried = self._ref_files(self.snapshot["manifests"])
-        self._commit(snap)
+        if publish:
+            self._commit(snap)
+        else:
+            self._write_snapshot_file(snap)
         return MergeResult(
             version=snap["version"],
             touched_buckets=list(new_ref["live_buckets"]),
             carried_files=carried,
             written_files=self._ref_files([new_ref]),
+            published=publish,
         )
 
     def compact_deltas(self) -> int | None:
