@@ -244,6 +244,52 @@ def q_time_travel_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _final_payload(past.read())
 
 
+def q_rollback_excise_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback + selective replay (the bad-deploy recovery sequence;
+    Iceberg rollback_to_snapshot analog): ingest the WAL as 3 incremental
+    merges, tag the version committed by the FIRST, roll back to the tag
+    (a NEW metadata-only head — linear history, applied-batch manifest
+    rewound), then replay ONLY the third batch.  The excised middle batch
+    must leave no trace and the replayed batch must NOT be skipped by the
+    exactly-once manifest: final state ≡ the SQL replay of events with
+    lsn ≤ max/3 OR lsn > 2·max/3."""
+    ev = events_from_table(spark, sf_dir)
+    hi = ev.agg(F.max("lsn")).first()[0] or 0
+    t = LakeTable.create(
+        spark, _fresh_dir("rollbk"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    batches = [
+        ev.filter((F.col("lsn") > cuts[i]) & (F.col("lsn") <= cuts[i + 1]))
+        for i in range(3)
+    ]
+    t.merge(batches[0], batch_id=0)
+    t.tag("good")
+    t.merge(batches[1], batch_id=1)
+    t.merge(batches[2], batch_id=2)
+    t.rollback(tag="good")
+    r = t.merge(batches[2], batch_id=2)  # replays: manifest rewound to 0
+    assert not r.skipped
+    return _final_payload(t.read())
+
+
+_ORACLE_FINAL_EXCISED = f"""
+WITH ev0 AS ({DERIVATION_SQL}),
+ev AS (
+  SELECT * FROM ev0
+  WHERE lsn <= (SELECT max(lsn) FROM ev0) // 3
+     OR lsn > (2 * (SELECT max(lsn) FROM ev0)) // 3
+),
+ranked AS (
+  SELECT ev.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+FROM ranked WHERE rn = 1 AND op <> 'd'
+"""
+
+
 _ORACLE_FINAL_PREFIX = f"""
 WITH ev0 AS ({DERIVATION_SQL}),
 ev AS (
@@ -1203,6 +1249,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_between_versions": q_changelog_between_versions,
         "incremental_export": q_incremental_export,
         "time_travel_final_state": q_time_travel_final_state,
+        "rollback_excise_final_state": q_rollback_excise_final_state,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
         "lineage_accounting": q_lineage_accounting,
         "stateful_sequence_monitor": q_stateful_sequence_monitor,
@@ -1334,6 +1381,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 AND lsn > (2 * (SELECT max(lsn) FROM ev0)) // 3
         """,
         "time_travel_final_state": _ORACLE_FINAL_PREFIX,
+        "rollback_excise_final_state": _ORACLE_FINAL_EXCISED,
         "cdc_stream_tail_final_state": _ORACLE_FINAL,
         # snapshot-persisted lineage folded across micro-batches must be
         # EXACT event accounting, not an estimate
