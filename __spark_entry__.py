@@ -273,6 +273,88 @@ def q_rollback_excise_final_state(spark: SparkSession, sf_dir: str) -> DataFrame
     return _final_payload(t.read())
 
 
+def q_wap_publish_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish gate (Iceberg ``spark.wap.id`` + cherrypick
+    analog; reference's commitRawTable/overwrite discipline): batch 1
+    merges normally; the WRONG batch (the lsn tail) is STAGED with
+    ``merge(publish=False)`` — durable but invisible: the head version and
+    the exactly-once manifest are untouched — audited, and ABANDONED (its
+    files and snapshot deleted, published chain intact); then the correct
+    middle batch is staged against the same parent, its audit passes
+    (0 pk dups, 0 NULL pks), and ``publish`` swings the pointer in one
+    atomic rename.  Final state ≡ the SQL replay of the lsn prefix
+    (lsn ≤ 2·max/3) — the abandoned stage must leave no trace."""
+    ev = events_from_table(spark, sf_dir)
+    hi = ev.agg(F.max("lsn")).first()[0] or 0
+    t = LakeTable.create(spark, _fresh_dir("wap"), TRANSCRIPT_SCHEMA, num_buckets=16)
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    batches = [
+        ev.filter((F.col("lsn") > cuts[i]) & (F.col("lsn") <= cuts[i + 1]))
+        for i in range(3)
+    ]
+    v1 = t.merge(batches[0], batch_id=0).version
+    bad = t.merge(batches[2], batch_id=1, publish=False)  # wrong cut staged
+    assert t.version == v1 and t.last_committed_batch("default") == 0, (
+        "staged merge must stay invisible until publish"
+    )
+    t.audit(bad.version)  # the audit read IS the WAP gate
+    t.abandon_staged(bad.version)
+    good = t.merge(batches[1], batch_id=1, publish=False)  # re-stage, same slot
+    a = t.audit(good.version)
+    assert a["pk_dups"] == 0 and a["null_pk_rows"] == 0, a
+    t.publish(good.version)
+    return _final_payload(t.read())
+
+
+def q_point_lookup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup / serving read (`LakeTable.lookup` — the Iceberg
+    bucket-transform predicate-pushdown analog): ingest the WAL into a
+    conversation-co-located layout (bucket_keys=("conv_id",)), then fetch
+    the CURRENT state of the 5 lexicographically-smallest live
+    conversations.  The lookup recomputes bucket ids from the key
+    literals and prunes manifest+files to O(|keys|) buckets before Spark
+    lists anything — O(touched buckets), never O(table) (pruning is
+    plan-asserted in tests/test_lookup.py; value parity is checked
+    here)."""
+    ev = events_from_table(spark, sf_dir)
+    t = LakeTable.create(
+        spark,
+        _fresh_dir("lookup"),
+        TRANSCRIPT_SCHEMA,
+        num_buckets=16,
+        bucket_keys=("conv_id",),
+    )
+    t.merge(ev, batch_id=0)
+    ids = [
+        r[0]
+        for r in t.read()
+        .select("conv_id")
+        .distinct()
+        .orderBy("conv_id")
+        .limit(5)
+        .collect()
+    ]
+    return _final_payload(t.lookup(ids))
+
+
+_ORACLE_LOOKUP = f"""
+WITH ev0 AS ({DERIVATION_SQL}),
+ranked AS (
+  SELECT ev0.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ev0
+),
+final AS (
+  SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+  FROM ranked WHERE rn = 1 AND op <> 'd'
+),
+picked AS (
+  SELECT DISTINCT conv_id FROM final ORDER BY conv_id LIMIT 5
+)
+SELECT f.* FROM final f JOIN picked USING (conv_id)
+"""
+
+
 _ORACLE_FINAL_EXCISED = f"""
 WITH ev0 AS ({DERIVATION_SQL}),
 ev AS (
@@ -1250,6 +1332,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_export": q_incremental_export,
         "time_travel_final_state": q_time_travel_final_state,
         "rollback_excise_final_state": q_rollback_excise_final_state,
+        "wap_publish_final_state": q_wap_publish_final_state,
+        "point_lookup_state": q_point_lookup_state,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
         "lineage_accounting": q_lineage_accounting,
         "stateful_sequence_monitor": q_stateful_sequence_monitor,
@@ -1382,6 +1466,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "time_travel_final_state": _ORACLE_FINAL_PREFIX,
         "rollback_excise_final_state": _ORACLE_FINAL_EXCISED,
+        "wap_publish_final_state": _ORACLE_FINAL_PREFIX,
+        "point_lookup_state": _ORACLE_LOOKUP,
         "cdc_stream_tail_final_state": _ORACLE_FINAL,
         # snapshot-persisted lineage folded across micro-batches must be
         # EXACT event accounting, not an estimate

@@ -133,6 +133,21 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     h = sub.add_parser("history", help="print snapshot history")
     h.add_argument("--table", required=True)
 
+    lk = sub.add_parser(
+        "lookup", help="bucket-pruned point lookup of specific keys"
+    )
+    lk.add_argument("--table", required=True)
+    lk.add_argument(
+        "--keys", required=True,
+        help="comma-separated key values; composite keys use ':' "
+        "(e.g. conv-1:3,conv-2:0)",
+    )
+    lk.add_argument(
+        "--columns", default=None,
+        help="comma-separated columns the key values bind to "
+        "(default: the table's bucket keys)",
+    )
+
     tg = sub.add_parser(
         "tag", help="named snapshot pins: tagged versions survive expire"
     )
@@ -366,6 +381,29 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     elif args.cmd == "show":
         t_ = LakeTable.load(spark, args.table, tag=args.tag)
         t_.read().orderBy("conv_id", "turn_idx").show(args.limit, truncate=False)
+    elif args.cmd == "lookup":
+        t_ = LakeTable.load(spark, args.table)
+        cols = tuple(
+            args.columns.split(",") if args.columns
+            else t_.snapshot["bucket_keys"]
+        )
+        by_name = {f.name: f.dataType for f in t_.schema().fields}
+
+        def coerce(col: str, v: str):
+            tn = by_name[col].typeName()
+            if tn in ("integer", "long", "short"):
+                return int(v)
+            if tn in ("double", "float"):
+                return float(v)
+            return v
+
+        keys = [
+            tuple(coerce(c, v) for c, v in zip(cols, raw.split(":")))
+            for raw in args.keys.split(",")
+        ]
+        t_.lookup(keys, columns=cols).orderBy(*t_.primary_key).show(
+            1000, truncate=False
+        )
     elif args.cmd == "tag":
         t_ = LakeTable.load(spark, args.table)
         if args.drop:

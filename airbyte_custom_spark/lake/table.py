@@ -785,6 +785,69 @@ class LakeTable:
             F.coalesce(F.col("_deleted"), F.lit(False)).alias("_deleted"),
         )
 
+    def lookup(
+        self,
+        keys: list[Any],
+        columns: tuple[str, ...] | None = None,
+        include_meta: bool = False,
+    ) -> DataFrame:
+        """Point lookup: current state of specific keys — the CDC serving
+        query ("fetch conversation X now"), the read the reference serves
+        from the warehouse final table after T+D.  Prunes the manifest to
+        the O(|keys|) buckets the keys hash into BEFORE Spark lists a
+        single file (the Iceberg bucket-transform predicate-pushdown
+        analog): bucket ids are recomputed from the key literals with the
+        SAME pure expression the layout uses (``bucket_expr`` — a tiny
+        |keys|-row local job, so Python never re-implements Murmur3), then
+        the pruned scan is key-filtered.  Cost is O(touched buckets),
+        never O(table) — at a 100-TB table a single-conversation fetch
+        reads one bucket (~1/num_buckets of the data), and a bucket layout
+        keyed on ``("conv_id",)`` makes it one conversation-co-located
+        slice.
+
+        ``columns`` names what each entry of ``keys`` holds (scalars for
+        one column, tuples for several); defaults to the table's
+        bucket_keys.  It must cover every bucket key — otherwise the
+        bucket is not computable and the caller should read()+filter.
+        MoR deltas fold exactly as in ``read()``: pruning happens on both
+        base and delta manifests, the per-key reduce only sees the pruned
+        buckets."""
+        cols = list(columns or self.snapshot["bucket_keys"])
+        missing = [k for k in self.snapshot["bucket_keys"] if k not in cols]
+        if missing:
+            raise ValueError(
+                f"lookup columns {cols} do not cover bucket keys "
+                f"{self.snapshot['bucket_keys']} (missing {missing}) — "
+                "bucket pruning impossible; use read() with a filter"
+            )
+        if not keys:
+            return self.read(include_meta=include_meta).limit(0)
+        rows = [tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys]
+        if any(len(r) != len(cols) for r in rows):
+            raise ValueError(f"every key must have {len(cols)} values: {cols}")
+        schema = self.schema()
+        by_name = {f.name: f.dataType for f in schema.fields}
+        key_schema = T.StructType(
+            [T.StructField(c, by_name[c], False) for c in cols]
+        )
+        keys_df = self.spark.createDataFrame(rows, key_schema)
+        buckets = sorted(
+            r[0]
+            for r in keys_df.select(self.bucket_expr(keys_df).alias("b"))
+            .distinct()
+            .collect()
+        )
+        df = self.read(include_meta=True, buckets=buckets)
+        if len(cols) == 1 and len(rows) <= 1024:
+            # small single-column key sets: an IN-list predicate reaches the
+            # parquet row-group stats (min/max pruning inside the bucket)
+            df = df.filter(F.col(cols[0]).isin([r[0] for r in rows]))
+        else:
+            df = df.join(F.broadcast(keys_df), on=cols, how="left_semi")
+        if not include_meta:
+            df = df.select(*self.payload_columns)
+        return df
+
     def changes_since(self, version: int) -> DataFrame:
         """CDC turned outward: the NET changes between snapshot ``version``
         and this table's loaded version, classified ``change_op`` ∈
@@ -915,7 +978,24 @@ class LakeTable:
             else:
                 # co-locate each bucket into one task → one file per bucket
                 out = out.repartition(n_buckets, "bucket")
-        out.write.mode("errorifexists").partitionBy("bucket").parquet(commit_dir)
+        # claim the version slot ATOMICALLY before Spark writes: two racing
+        # writers can both pass a write-time existence check (the check and
+        # the write are not one atomic step), interleave files into the same
+        # dir, and the winner's manifest walk would then pick up the loser's
+        # files — duplicate keys inside one committed version.  os.mkdir is
+        # atomic: exactly one writer owns data/v<N>, the loser gets a
+        # ConcurrentCommitError and (via merge_with_retry) re-merges against
+        # the new head.  A dir left by a CRASHED attempt also lands here —
+        # loudly, never silently appended into.
+        try:
+            os.makedirs(commit_dir, exist_ok=False)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version slot v{version} already claimed (data dir exists) — "
+                "another writer won the slot, or a crashed attempt left it; "
+                "reload and retry, or remove the orphaned dir"
+            ) from None
+        out.write.mode("append").partitionBy("bucket").parquet(commit_dir)
         entries = self._manifest_entries(commit_dir, snap["current_schema_id"])
         return self._write_manifest(entries, version)
 
@@ -1255,6 +1335,67 @@ class LakeTable:
             written_files=self._ref_files([new_ref]),
             published=publish,
         )
+
+    def merge_with_retry(
+        self,
+        events_df: DataFrame,
+        batch_id: int | None = None,
+        query_id: str = "default",
+        retries: int = 3,
+        **kwargs: Any,
+    ) -> MergeResult:
+        """``merge`` under multi-writer optimistic concurrency — the
+        Iceberg commit-retry loop (`commit.retry.num-retries`) the
+        reference approximates with its per-stream T+D lock
+        (`DefaultTyperDeduper.java:59-69`).
+
+        Conflicts surface in exactly two ways, both BEFORE this writer's
+        commit becomes visible: (a) ``ConcurrentCommitError`` — the fast
+        pre-check (``_next_snapshot``) or the pointer-swing check saw the
+        head move (a racing merge, rollback, evolve, or publish); (b) the
+        version-slot data-directory collision — ``data/v<N>`` is written
+        ``errorifexists``, so at most ONE writer can ever own a version's
+        data dir, making the dir write itself the commit lock for data
+        commits (the loser fails before its pointer moves).  Either way,
+        recovery is the same: reload the head snapshot and RE-RUN the
+        merge against it — a clean recompute, never a repair, because the
+        lsn-max reduce makes merge application order-independent (the
+        same property the replay tests assert).  The reloaded head's
+        applied-batch manifest is honored first, so if the racing writer
+        already applied THIS (query_id, batch_id) the retry returns
+        ``skipped`` instead of double-applying.
+
+        Concurrent callers from driver threads should pass
+        ``pin_exchange=False`` (see ``merge``): the pinned-exchange plan
+        mutates the session's shuffle-partition conf, which is process
+        global.  And because the applied manifest is a per-query MONOTONIC
+        watermark (streaming epoch semantics), independent concurrent
+        writers must use distinct ``query_id``s — racing writers sharing
+        one query_id with out-of-order batch ids would mark the lower ids
+        applied when a higher id lands first."""
+        from pyspark.errors import AnalysisException
+
+        last: Exception | None = None
+        for attempt in range(retries + 1):
+            if attempt:
+                time.sleep(0.05 * attempt)
+                fresh = LakeTable.load(self.spark, self.path)
+                self.snapshot = fresh.snapshot
+                self._manifest_cache = {}
+            try:
+                return self.merge(
+                    events_df, batch_id=batch_id, query_id=query_id, **kwargs
+                )
+            except ConcurrentCommitError as e:
+                last = e
+            except AnalysisException as e:
+                msg = str(e)
+                if "PATH_ALREADY_EXISTS" not in msg and "already exists" not in msg:
+                    raise
+                last = e
+        raise ConcurrentCommitError(
+            f"gave up after {retries} retries: {last}"
+        ) from last
 
     def _merged_frame(self, rows: DataFrame, tgt: DataFrame) -> DataFrame:
         """union(batch, touched target) → one row per pk = greatest

@@ -134,3 +134,22 @@ def test_cli_changes_feed(spark, tmp_path, capsys):
     assert set(
         feed.select("change_op").distinct().toPandas()["change_op"]
     ) == {"i"}
+
+
+def test_cli_lookup(spark, tmp_path, capsys):
+    """lookup subcommand: point lookup through the CLI — composite pk
+    values parsed as col1:col2 and coerced to the table's column types."""
+    seg = str(tmp_path / "seg_lk")
+    tbl = str(tmp_path / "tbl_lk")
+    run(capsys, "gen", "--out", seg, "--events", "1000", "--chunks", "1")
+    run(capsys, "init", "--table", tbl, "--buckets", "2")
+    run(capsys, "tail", "--table", tbl, "--source", seg,
+        "--checkpoint", str(tmp_path / "ck_lk"))
+    row = LakeTable.load(spark, tbl).read().orderBy("conv_id", "turn_idx").first()
+    rc = main(
+        ["lookup", "--table", tbl, "--keys", f"{row['conv_id']}:{row['turn_idx']}"],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert row["conv_id"] in out and str(row["turn_idx"]) in out
