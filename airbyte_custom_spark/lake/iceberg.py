@@ -209,6 +209,126 @@ class IcebergTable:
             df = df.drop(*_META_COLS)
         return df
 
+    def lookup(
+        self,
+        keys: list,
+        columns: tuple[str, ...] | None = None,
+        include_meta: bool = False,
+    ) -> DataFrame:
+        """LakeTable.lookup dispatch twin.  Iceberg performs its own
+        bucket-transform predicate pushdown (the layout is
+        ``bucket(N, pk[0])``), so the key predicate alone prunes manifests
+        server-side — this method only has to EXPRESS it: an IN-list for
+        small single-column key sets (reaches Iceberg's partition + file
+        stats pruning), a broadcast left-semi join otherwise."""
+        cols = list(columns or self.primary_key[:1])
+        rows = [tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys]
+        df = self.read(include_meta=include_meta)
+        if not rows:
+            return df.limit(0)
+        if len(cols) == 1 and len(rows) <= 1024:
+            return df.filter(F.col(cols[0]).isin([r[0] for r in rows]))
+        by_name = {f.name: f.dataType for f in self.schema().fields}
+        key_schema = T.StructType(
+            [T.StructField(c, by_name[c], False) for c in cols]
+        )
+        keys_df = self.spark.createDataFrame(rows, key_schema)
+        return df.join(F.broadcast(keys_df), on=cols, how="left_semi")
+
+    # --------------------------------------------------- snapshot lifecycle
+
+    def _current_snapshot_id(self) -> int:
+        row = (
+            self.spark.sql(
+                f"SELECT snapshot_id FROM {self.ident}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1"
+            ).first()
+        )
+        if row is None:
+            raise ValueError(f"{self.ident} has no snapshots")
+        return int(row["snapshot_id"])
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Named snapshot pin — Iceberg's own branching/tagging DDL
+        (`ALTER TABLE ... CREATE OR REPLACE TAG`).  ``version`` is an
+        Iceberg snapshot id here (LakeTable: a lake version int); both
+        default to the current snapshot and both survive expiry until
+        dropped."""
+        sid = int(version) if version is not None else self._current_snapshot_id()
+        self.spark.sql(
+            f"ALTER TABLE {self.ident} CREATE OR REPLACE TAG `{name}` "
+            f"AS OF VERSION {sid}"
+        )
+        return sid
+
+    def tags(self) -> dict[str, int]:
+        rows = self.spark.sql(
+            f"SELECT name, snapshot_id FROM {self.ident}.refs WHERE type = 'TAG'"
+        ).collect()
+        return {r["name"]: int(r["snapshot_id"]) for r in rows}
+
+    def drop_tag(self, name: str) -> None:
+        self.spark.sql(f"ALTER TABLE {self.ident} DROP TAG `{name}`")
+
+    def rollback(self, version: int | None = None, tag: str | None = None) -> int:
+        """Restore to an earlier snapshot — Iceberg's
+        ``rollback_to_snapshot`` procedure (same recovery verb as
+        LakeTable.rollback; Iceberg moves the current pointer back, the
+        rolled-past snapshots stay until expiry, matching the auditable
+        semantics).  Exactly one of ``version`` (snapshot id) / ``tag``."""
+        if (version is None) == (tag is None):
+            raise ValueError("pass exactly one of version / tag")
+        if tag is not None:
+            known = self.tags()
+            if tag not in known:
+                raise ValueError(f"unknown tag {tag!r} (have {sorted(known)})")
+            version = known[tag]
+        catalog = self.ident.split(".", 1)[0]
+        self.spark.sql(
+            f"CALL {catalog}.system.rollback_to_snapshot("
+            f"table => '{self.ident}', snapshot_id => {int(version)})"
+        )
+        return int(version)
+
+    def merge_with_retry(
+        self,
+        events_df: DataFrame,
+        batch_id: int | None = None,
+        query_id: str = "default",
+        retries: int = 3,
+        **kwargs,
+    ) -> "MergeResult":
+        """Commit-retry twin of LakeTable.merge_with_retry.  Iceberg's own
+        optimistic machinery retries data-conflict-free commits internally
+        (`commit.retry.num-retries`); this loop only re-drives the cases
+        that surface to the client as CommitFailedException /
+        concurrent-modification errors, re-reading the applied-batch
+        property first so a raced duplicate skips."""
+        import time as _time
+
+        last: Exception | None = None
+        for attempt in range(retries + 1):
+            if attempt:
+                _time.sleep(0.05 * attempt)
+            try:
+                return self.merge(
+                    events_df, batch_id=batch_id, query_id=query_id, **kwargs
+                )
+            except Exception as e:  # noqa: BLE001 - classified below
+                msg = str(e)
+                if not any(
+                    s in msg
+                    for s in (
+                        "CommitFailedException",
+                        "CommitStateUnknownException",
+                        "ValidationException",
+                        "concurrent",
+                    )
+                ):
+                    raise
+                last = e
+        raise RuntimeError(f"gave up after {retries} retries: {last}") from last
+
     # ------------------------------------------------------- schema evolve
 
     def evolve_schema(self, new_payload: T.StructType, **_ignored) -> None:

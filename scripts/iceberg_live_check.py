@@ -52,10 +52,20 @@ def main() -> int:
     assert r2.skipped, "replayed batch must skip via the property ledger"
     assert t.last_committed_batch("live-check") == 0
 
+    # snapshot lifecycle surface (round-4 parity verbs)
+    sid = t.tag("live-check-pin")
+    assert t.tags().get("live-check-pin") == sid
+    some_id = t.read().select("conv_id").first()["conv_id"]
+    assert t.lookup([some_id], columns=("conv_id",)).count() > 0
+    t.rollback(tag="live-check-pin")
+    assert t.read().count() == n, "rollback to the pinned snapshot changed state"
+    t.drop_tag("live-check-pin")
+
     # maintenance surface
     t.gc_tombstones(lsn_watermark=0)
     stats = t.expire_snapshots(retain_last=2)
-    print(f"OK: {ident} merged {n} rows, replay skipped, maintenance ran {stats}")
+    print(f"OK: {ident} merged {n} rows, replay skipped, lifecycle verbs ran, "
+          f"maintenance ran {stats}")
     spark.stop()
     return 0
 

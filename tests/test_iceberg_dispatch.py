@@ -40,7 +40,9 @@ def test_iceberg_surface_matches_laketable(spark):
 
     surface = [
         "merge",
+        "merge_with_retry",
         "read",
+        "lookup",
         "compact",
         "evolve_schema",
         "soft_reset",
@@ -48,6 +50,10 @@ def test_iceberg_surface_matches_laketable(spark):
         "expire_snapshots",
         "last_committed_batch",
         "schema",
+        "tag",
+        "tags",
+        "drop_tag",
+        "rollback",
     ]
     for name in surface:
         assert callable(getattr(IcebergTable, name, None)), name
@@ -62,6 +68,16 @@ def test_iceberg_surface_matches_laketable(spark):
     # read() accepts LakeTable's flags
     r = inspect.signature(IcebergTable.read)
     assert "include_deleted" in r.parameters and "include_meta" in r.parameters
+    # lifecycle verbs keep LakeTable's keyword shapes
+    lk = inspect.signature(IcebergTable.lookup)
+    assert "columns" in lk.parameters and "include_meta" in lk.parameters
+    tg = inspect.signature(IcebergTable.tag)
+    assert "version" in tg.parameters
+    rb = inspect.signature(IcebergTable.rollback)
+    assert "version" in rb.parameters and "tag" in rb.parameters
+    mr = inspect.signature(IcebergTable.merge_with_retry)
+    for kw in ("batch_id", "query_id", "retries"):
+        assert kw in mr.parameters
 
 
 def test_open_table_forwards_primary_key(spark, tmp_path):
