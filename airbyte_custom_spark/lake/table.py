@@ -80,6 +80,7 @@ import os
 import shutil
 import time
 import uuid
+from collections.abc import Callable
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
@@ -168,6 +169,7 @@ class LakeTable:
         files_per_bucket: int = 1,
         payload_key_map: dict[str, str] | None = None,
         write_mode: str = "cow",
+        sort_within_buckets: bool = False,
     ) -> "LakeTable":
         """Create an empty table. Physical schema = payload + meta columns.
 
@@ -188,7 +190,14 @@ class LakeTable:
         that many reducer partitions (aligned case) or via a pk-hash write
         salt (explicit-repartition case): smooths the write stage when a
         hot bucket would otherwise straggle one task.  Read path is
-        unaffected (the manifest lists every file per bucket)."""
+        unaffected (the manifest lists every file per bucket).
+
+        ``sort_within_buckets`` (Iceberg sort-order analog) sorts each
+        writer task's rows by the bucket keys before writing: per-file
+        key min/max ranges become tight, so ``lookup`` prunes FILES inside
+        a bucket (not just buckets) and parquet row-group stats prune
+        inside files.  Costs one in-memory sort per write task on the
+        write path — off by default."""
         os.makedirs(os.path.join(path, _META_DIR), exist_ok=False)
         physical = with_meta_columns(payload_schema)
         snapshot = {
@@ -203,6 +212,7 @@ class LakeTable:
             "bucket_keys": list(bucket_keys or primary_key),
             "primary_key": list(primary_key),
             "write_mode": write_mode,
+            "sort_within_buckets": bool(sort_within_buckets),
             "manifests": [],
             "deltas": [],
             "applied": {},
@@ -709,10 +719,15 @@ class LakeTable:
         include_deleted: bool = False,
         include_meta: bool = False,
         buckets: list[int] | None = None,
+        file_filter: Callable[[dict[str, Any]], bool] | None = None,
     ) -> DataFrame:
         """Current snapshot as a DataFrame.  ``buckets`` prunes manifest
         shards AND data files before Spark ever lists them (the
         manifest-level pruning Iceberg does with partition stats).
+        ``file_filter`` additionally drops individual manifest entries
+        (lookup's key-range pruning) — callers must only prune files that
+        provably contain no qualifying KEY, so the per-key latest fold
+        over base ∪ deltas stays exact.
 
         With outstanding merge-on-read deltas the scan is followed by ONE
         latest-per-key reduce over base ∪ deltas (greatest (_lsn,
@@ -721,8 +736,12 @@ class LakeTable:
         (all-CoW, or post-``compact_deltas``) the plan is the plain scan
         it always was — zero read amplification."""
         want = None if buckets is None else set(buckets)
-        df = self._read_files(self.live_files(want))
+        base_files = self.live_files(want)
         delta_files = self.live_delta_files(want)
+        if file_filter is not None:
+            base_files = [e for e in base_files if file_filter(e)]
+            delta_files = [e for e in delta_files if file_filter(e)]
+        df = self._read_files(base_files)
         if delta_files:
             from airbyte_custom_spark.operators.dedupe import latest_per_key
 
@@ -837,7 +856,22 @@ class LakeTable:
             .distinct()
             .collect()
         )
-        df = self.read(include_meta=True, buckets=buckets)
+        # in-bucket FILE pruning by the manifests' per-file key min/max
+        # (recorded at write time; tight ranges under sort_within_buckets):
+        # a file whose [key_min, key_max] covers none of the looked-up
+        # leading-key values provably holds no row for them
+        file_filter = None
+        lead = self.snapshot["bucket_keys"][0]
+        if lead in cols:
+            lead_vals = sorted({r[cols.index(lead)] for r in rows})
+
+            def file_filter(e: dict[str, Any]) -> bool:
+                lo, hi = e.get("key_min"), e.get("key_max")
+                if lo is None or hi is None:
+                    return True  # no stats recorded — never prune blind
+                return any(lo <= v <= hi for v in lead_vals)
+
+        df = self.read(include_meta=True, buckets=buckets, file_filter=file_filter)
         if len(cols) == 1 and len(rows) <= 1024:
             # small single-column key sets: an IN-list predicate reaches the
             # parquet row-group stats (min/max pruning inside the bucket)
@@ -978,6 +1012,13 @@ class LakeTable:
             else:
                 # co-locate each bucket into one task → one file per bucket
                 out = out.repartition(n_buckets, "bucket")
+        if snap.get("sort_within_buckets"):
+            # Iceberg sort-order analog: cluster each write task's rows by
+            # the bucket keys so per-file (and per-row-group) key ranges
+            # are tight — lookup() then prunes files inside a bucket
+            out = out.sortWithinPartitions(
+                "bucket", *self.snapshot["bucket_keys"]
+            )
         # claim the version slot ATOMICALLY before Spark writes: two racing
         # writers can both pass a write-time existence check (the check and
         # the write are not one atomic step), interleave files into the same
@@ -1016,30 +1057,49 @@ class LakeTable:
                 bucket = int(os.path.basename(root).split("=", 1)[1])
                 paths.append((os.path.join(root, name), bucket))
 
-        def entry(item: tuple[str, int]) -> dict[str, Any]:
-            full, bucket = item
-            md = pq.ParquetFile(full).metadata
-            # per-file _lsn min/max from the footer's row-group stats —
-            # the Iceberg manifest lower_bounds/upper_bounds analog.  Read
-            # once at write time (footers of THIS commit's files only);
-            # read_since() then skips whole files by manifest alone.
-            lsn_lo = lsn_hi = None
+        key_col = self.snapshot["bucket_keys"][0]
+
+        def col_range(md, col: str):
+            """Fold a column's min/max across row groups (None if any group
+            lacks stats) — the Iceberg manifest lower_bounds/upper_bounds
+            analog, read once at write time from THIS commit's footers."""
+            if not md.num_row_groups:
+                return None, None
             idx = next(
                 (
                     i
                     for i in range(md.num_columns)
-                    if md.row_group(0).column(i).path_in_schema == "_lsn"
+                    if md.row_group(0).column(i).path_in_schema == col
                 ),
                 None,
-            ) if md.num_row_groups else None
-            if idx is not None:
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    if st is None or not st.has_min_max:
-                        lsn_lo = lsn_hi = None
-                        break
-                    lsn_lo = st.min if lsn_lo is None else min(lsn_lo, st.min)
-                    lsn_hi = st.max if lsn_hi is None else max(lsn_hi, st.max)
+            )
+            if idx is None:
+                return None, None
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None, None
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                    except UnicodeDecodeError:
+                        return None, None
+                if not isinstance(mn, (str, int, float)):
+                    return None, None  # keep the manifest JSON-serializable
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            return lo, hi
+
+        def entry(item: tuple[str, int]) -> dict[str, Any]:
+            full, bucket = item
+            md = pq.ParquetFile(full).metadata
+            # per-file min/max: _lsn drives read_since()'s file skipping,
+            # the leading bucket key drives lookup()'s in-bucket file
+            # pruning (tight ranges when sort_within_buckets is on)
+            lsn_lo, lsn_hi = col_range(md, "_lsn")
+            key_lo, key_hi = col_range(md, key_col)
             return {
                 "path": os.path.relpath(full, self.path),
                 "bucket": bucket,
@@ -1048,6 +1108,8 @@ class LakeTable:
                 "bytes": os.path.getsize(full),
                 "lsn_min": lsn_lo,
                 "lsn_max": lsn_hi,
+                "key_min": key_lo,
+                "key_max": key_hi,
             }
 
         if len(paths) <= 1:

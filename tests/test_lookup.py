@@ -104,3 +104,51 @@ def test_lookup_empty_keys_and_missing_keys(spark, tmp_path):
     t = _mk(spark, tmp_path, bucket_keys=("conv_id",))
     assert t.lookup([]).count() == 0
     assert t.lookup(["no-such-conversation"]).count() == 0
+
+
+def test_lookup_prunes_files_by_key_range_across_commits(spark, tmp_path):
+    """Per-file key min/max (Iceberg lower/upper-bounds analog): under
+    merge-on-read, commits touching DISJOINT conv_id ranges accumulate
+    one delta file per bucket per commit; a lookup of a conversation from
+    one range must skip the other commits' delta files entirely —
+    file-level pruning inside the bucket, before Spark lists anything.
+    (Copy-on-write rewrites a touched bucket to one file, so the
+    multi-file-per-bucket case at scale IS the MoR/pre-compaction one.)"""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        TRANSCRIPT_SCHEMA,
+        num_buckets=2,
+        bucket_keys=("conv_id",),
+        sort_within_buckets=True,
+        write_mode="mor",
+    )
+    ev = change_events(spark, 6000, n_convs=90, seed=5)
+    # lexicographically disjoint conv slices -> disjoint key ranges per commit
+    slices = [
+        ev.filter(F.col("conv_id") < "conv-3"),
+        ev.filter((F.col("conv_id") >= "conv-3") & (F.col("conv_id") < "conv-6")),
+        ev.filter(F.col("conv_id") >= "conv-6"),
+    ]
+    for i, s in enumerate(slices):
+        t.merge(s, batch_id=i)
+    files = t.live_files(None) + t.live_delta_files(None)
+    assert all(
+        e["key_min"] is not None and e["key_max"] is not None for e in files
+    ), "key stats missing from the manifest"
+    target = slices[1].select("conv_id").orderBy("conv_id").first()["conv_id"]
+    got = t.lookup([target])
+    want = t.read().filter(F.col("conv_id") == target)
+    assert sorted(got.collect()) == sorted(want.collect())
+    scanned = _basenames(got.inputFiles())
+    keys_df = spark.createDataFrame([(target,)], "conv_id string")
+    bucket = keys_df.select(t.bucket_expr(keys_df).alias("b")).first()["b"]
+    in_bucket = t.live_files({bucket}) + t.live_delta_files({bucket})
+    assert len(in_bucket) >= 3, "expected one delta per commit in the bucket"
+    qualifying = {
+        os.path.basename(e["path"])
+        for e in in_bucket
+        if e["key_min"] <= target <= e["key_max"]
+    }
+    assert scanned <= qualifying
+    assert len(scanned) < len(in_bucket), "key-range pruning did not bite"
