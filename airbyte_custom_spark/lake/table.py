@@ -850,11 +850,15 @@ class LakeTable:
             [T.StructField(c, by_name[c], False) for c in cols]
         )
         keys_df = self.spark.createDataFrame(rows, key_schema)
+        # one LocalTableScan job, no exchange: dedupe driver-side (|keys| is
+        # driver-bounded by construction), never .distinct() a literal frame
         buckets = sorted(
-            r[0]
-            for r in keys_df.select(self.bucket_expr(keys_df).alias("b"))
-            .distinct()
-            .collect()
+            {
+                r[0]
+                for r in keys_df.select(
+                    self.bucket_expr(keys_df).alias("b")
+                ).collect()
+            }
         )
         # in-bucket FILE pruning by the manifests' per-file key min/max
         # (recorded at write time; tight ranges under sort_within_buckets):

@@ -120,8 +120,13 @@ def _prime(spark) -> None:
     shutil.rmtree(d, ignore_errors=True)
 
 
-def _apply_job(spark, seg_dir: str, n_events: int, max_files: int | None) -> dict:
-    """The measured job: stream-tail segments → merge → commit."""
+def _apply_job(
+    spark, seg_dir: str, n_events: int, max_files: int | None,
+    keep_table: bool = False,
+) -> dict:
+    """The measured job: stream-tail segments → merge → commit.
+    ``keep_table=True`` leaves the table dir for follow-up micros (the
+    caller removes it)."""
     from airbyte_custom_spark.config import IngestConfig
     from airbyte_custom_spark.lake.table import LakeTable
     from airbyte_custom_spark.schema import TRANSCRIPT_SCHEMA
@@ -144,7 +149,8 @@ def _apply_job(spark, seg_dir: str, n_events: int, max_files: int | None) -> dic
     job.run_available_now(timeout_sec=3600)
     seconds = time.monotonic() - t0
     final_rows = LakeTable.load(spark, tbl_dir).read().count()
-    shutil.rmtree(tbl_dir, ignore_errors=True)
+    if not keep_table:
+        shutil.rmtree(tbl_dir, ignore_errors=True)
     shutil.rmtree(ckpt_dir, ignore_errors=True)
     return {
         "seconds": seconds,
@@ -153,6 +159,7 @@ def _apply_job(spark, seg_dir: str, n_events: int, max_files: int | None) -> dic
         "final_rows": final_rows,
         "batches": len([b for b in job.metrics.batches if not b.skipped]),
         "batch_seconds": [round(b.seconds, 2) for b in job.metrics.batches],
+        "table_dir": tbl_dir if keep_table else None,
     }
 
 
@@ -178,7 +185,9 @@ def child_headline_run(n_events: int, seg_dir: str) -> None:
     queries["gen_segments"] = round(time.monotonic() - t0, 3)
     _prime(spark)
 
-    head = _apply_job(spark, seg_dir, n_events, max_files=N_CHUNKS // 2)
+    head = _apply_job(
+        spark, seg_dir, n_events, max_files=N_CHUNKS // 2, keep_table=True
+    )
     queries["e2e_apply"] = round(head["seconds"], 3)
     log(f"  e2e_apply: {head['seconds']:.1f}s → {head['events_per_sec']:,.0f} ev/s "
         f"({head['batches']} batches, {head['final_rows']} final rows)")
@@ -264,7 +273,37 @@ def child_headline_run(n_events: int, seg_dir: str) -> None:
         f"cow {mtimes['cow']:.1f}s, mor {mtimes['mor']:.1f}s "
         f"(+compact {mtimes['mor_compact']:.1f}s) → "
         f"{mtimes['cow'] / mtimes['mor']:.1f}× append-path win")
-    for d in (cow_tbl, mor_tbl):
+    # serving-read micro: point lookup (bucket-pruned manifest read) vs the
+    # naive full-scan+semi-join on the HEADLINE table (the biggest one this
+    # process builds) — the "current state of conversation X" query.  The
+    # lookup reads O(touched buckets); the scan reads O(table); the gap is
+    # the pruning payoff and widens linearly with table size.
+    from pyspark.sql import functions as F
+
+    serve = LakeTable.load(spark, head["table_dir"])
+    # a POINT lookup is a handful of keys (here 3 pk tuples → ≤3 of the 32
+    # buckets); many-key lookups converge to a scan because uniform pk
+    # hashing covers every bucket — that regime belongs to read()+join
+    pk_keys = [
+        (r["conv_id"], r["turn_idx"])
+        for r in serve.read().select("conv_id", "turn_idx")
+        .orderBy("conv_id", "turn_idx").limit(3).collect()
+    ]
+    t0 = time.monotonic()
+    n_hit = serve.lookup(pk_keys).count()
+    queries["lookup_pruned"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    n_scan = serve.read().join(
+        spark.createDataFrame(pk_keys, "conv_id string, turn_idx int"),
+        on=["conv_id", "turn_idx"], how="left_semi",
+    ).count()
+    queries["lookup_fullscan"] = round(time.monotonic() - t0, 3)
+    assert n_hit == n_scan, (n_hit, n_scan)
+    log(f"  lookup micro ({len(pk_keys)} pk keys, "
+        f"{head['final_rows']:,}-row table): "
+        f"pruned {queries['lookup_pruned']:.2f}s vs full-scan "
+        f"{queries['lookup_fullscan']:.2f}s")
+    for d in (cow_tbl, mor_tbl, head["table_dir"]):
         shutil.rmtree(d, ignore_errors=True)
 
     spark.stop()

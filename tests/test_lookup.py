@@ -152,3 +152,35 @@ def test_lookup_prunes_files_by_key_range_across_commits(spark, tmp_path):
     }
     assert scanned <= qualifying
     assert len(scanned) < len(in_bucket), "key-range pruning did not bite"
+
+
+def test_compacted_files_stay_sorted_with_key_stats(spark, tmp_path):
+    """compact_deltas rewrites buckets through the same write path, so a
+    sort_within_buckets table keeps tight per-file key ranges (and rows
+    physically sorted) after compaction — lookups stay pruned for the
+    table's whole life, not just between compactions."""
+    import pyarrow.parquet as pq
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "t"),
+        TRANSCRIPT_SCHEMA,
+        num_buckets=2,
+        bucket_keys=("conv_id",),
+        sort_within_buckets=True,
+        write_mode="mor",
+    )
+    ev = change_events(spark, 3000, n_convs=40, seed=9)
+    hi = ev.agg(F.max("lsn")).first()[0]
+    t.merge(ev.filter(F.col("lsn") <= hi // 2), batch_id=0)
+    t.merge(ev.filter(F.col("lsn") > hi // 2), batch_id=1)
+    assert t.compact_deltas() is not None
+    files = t.live_files(None)
+    assert not t.live_delta_files(None)
+    assert all(e["key_min"] is not None for e in files)
+    # rows inside each compacted file are physically sorted by the key
+    for e in files:
+        col = pq.read_table(
+            str(tmp_path / "t" / e["path"]), columns=["conv_id"]
+        )["conv_id"].to_pylist()
+        assert col == sorted(col), f"{e['path']} not sorted"
