@@ -337,6 +337,67 @@ def q_point_lookup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _final_payload(t.lookup(ids))
 
 
+def q_replica_sync_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading CDC — changelog out of one table, into another: the
+    PRIMARY ingests the WAL as 3 merges; a REPLICA catches up in two
+    incremental `changes_since` → `apply_changes` rounds (after v2, then
+    v2→v3), each reading only O(changed data) off the primary.  The
+    replica's final state must value-equal the full replay — proving the
+    changelog emits exactly the net changes (inserts/updates/deletes with
+    the winning lsn) and that applying it is idempotent merge, not a
+    copy."""
+    ev = events_from_table(spark, sf_dir)
+    hi = ev.agg(F.max("lsn")).first()[0] or 0
+    primary = LakeTable.create(
+        spark, _fresh_dir("repl-p"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    replica = LakeTable.create(
+        spark, _fresh_dir("repl-r"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    versions = []
+    for i in range(3):
+        batch = ev.filter((F.col("lsn") > cuts[i]) & (F.col("lsn") <= cuts[i + 1]))
+        versions.append(primary.merge(batch, batch_id=i).version)
+    # catch-up 1: everything up to v2; catch-up 2: just the v2→v3 delta
+    mid = LakeTable.load(spark, primary.path, version=versions[1])
+    replica.apply_changes(mid.changes_since(0), batch_id=0)
+    replica.apply_changes(primary.changes_since(versions[1]), batch_id=1)
+    return _final_payload(replica.read())
+
+
+def q_delete_where_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate delete as CDC (`LakeTable.delete_where` — the Iceberg
+    `DELETE FROM` / GDPR-purge analog): ingest the WAL, then purge every
+    live tool turn.  The purge is a tombstone batch one LSN above the
+    table's watermark driven through the normal merge, so it replays
+    idempotently and replicas see it as ordinary deletes.  Final state ≡
+    the SQL replay minus role='tool' winners."""
+    ev = events_from_table(spark, sf_dir)
+    t = LakeTable.create(
+        spark, _fresh_dir("purge"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    t.merge(ev, batch_id=0)
+    r = t.delete_where("role = 'tool'", batch_id=1)
+    assert not r.skipped
+    # idempotent: replaying the purge batch is a no-op
+    assert t.delete_where("role = 'tool'", batch_id=1).skipped
+    return _final_payload(t.read())
+
+
+_ORACLE_DELETE_WHERE = f"""
+WITH ev0 AS ({DERIVATION_SQL}),
+ranked AS (
+  SELECT ev0.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ev0
+)
+SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
+FROM ranked
+WHERE rn = 1 AND op <> 'd' AND role IS DISTINCT FROM 'tool'
+"""
+
+
 _ORACLE_LOOKUP = f"""
 WITH ev0 AS ({DERIVATION_SQL}),
 ranked AS (
@@ -1334,6 +1395,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollback_excise_final_state": q_rollback_excise_final_state,
         "wap_publish_final_state": q_wap_publish_final_state,
         "point_lookup_state": q_point_lookup_state,
+        "replica_sync_final_state": q_replica_sync_final_state,
+        "delete_where_final_state": q_delete_where_final_state,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
         "lineage_accounting": q_lineage_accounting,
         "stateful_sequence_monitor": q_stateful_sequence_monitor,
@@ -1468,6 +1531,8 @@ def oracle_sql() -> dict[str, str]:
         "rollback_excise_final_state": _ORACLE_FINAL_EXCISED,
         "wap_publish_final_state": _ORACLE_FINAL_PREFIX,
         "point_lookup_state": _ORACLE_LOOKUP,
+        "replica_sync_final_state": _ORACLE_FINAL,
+        "delete_where_final_state": _ORACLE_DELETE_WHERE,
         "cdc_stream_tail_final_state": _ORACLE_FINAL,
         # snapshot-persisted lineage folded across micro-batches must be
         # EXACT event accounting, not an estimate

@@ -133,6 +133,22 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     h = sub.add_parser("history", help="print snapshot history")
     h.add_argument("--table", required=True)
 
+    dw = sub.add_parser(
+        "delete-where", help="predicate delete as CDC tombstones (purge)"
+    )
+    dw.add_argument("--table", required=True)
+    dw.add_argument("--where", required=True, help="SQL predicate over payload columns")
+    dw.add_argument("--batch-id", type=int, default=None,
+                    help="idempotency id: replaying the same id skips")
+
+    sy = sub.add_parser(
+        "sync", help="catch a replica table up from a primary's changelog"
+    )
+    sy.add_argument("--table", required=True, help="replica table path")
+    sy.add_argument("--from", dest="source", required=True, help="primary table path")
+    sy.add_argument("--since-version", type=int, required=True)
+    sy.add_argument("--batch-id", type=int, default=None)
+
     lk = sub.add_parser(
         "lookup", help="bucket-pruned point lookup of specific keys"
     )
@@ -381,6 +397,25 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     elif args.cmd == "show":
         t_ = LakeTable.load(spark, args.table, tag=args.tag)
         t_.read().orderBy("conv_id", "turn_idx").show(args.limit, truncate=False)
+    elif args.cmd == "delete-where":
+        t_ = LakeTable.load(spark, args.table)
+        before = t_.read().count()
+        r = t_.delete_where(args.where, batch_id=args.batch_id)
+        print(json.dumps({
+            "version": r.version,
+            "skipped": r.skipped,
+            "deleted_rows": None if r.skipped else before - t_.read().count(),
+        }))
+    elif args.cmd == "sync":
+        primary = LakeTable.load(spark, args.source)
+        replica = LakeTable.load(spark, args.table)
+        feed = primary.changes_since(args.since_version)
+        r = replica.apply_changes(feed, batch_id=args.batch_id)
+        print(json.dumps({
+            "replica_version": r.version,
+            "skipped": r.skipped,
+            "primary_version": primary.version,
+        }))
     elif args.cmd == "lookup":
         t_ = LakeTable.load(spark, args.table)
         cols = tuple(

@@ -942,6 +942,67 @@ class LakeTable:
             .drop("_was_live", "_deleted")
         )
 
+    def apply_changes(
+        self,
+        feed: DataFrame,
+        batch_id: int | None = None,
+        query_id: str = "replica",
+    ) -> MergeResult:
+        """The replica half of the changelog: apply a ``changes_since``
+        feed (payload + ``_lsn`` + ``change_op``) as a CDC batch.
+        ``change_op`` 'i'/'u' upsert and 'd' deletes; the primary's
+        winning ``_lsn`` rides along as the event lsn, so replication is
+        idempotent and order-independent exactly like the primary's own
+        merges (re-applying a feed, or applying two overlapping feeds,
+        converges to the same state).  Chain `primary.changes_since(v)` →
+        `replica.apply_changes(...)` to keep a downstream copy in sync
+        reading only O(changed data) — never the primary's full table."""
+        ev = feed.withColumnsRenamed({"change_op": "op", "_lsn": "lsn"})
+        return self.merge(ev, batch_id=batch_id, query_id=query_id)
+
+    def delete_where(
+        self,
+        condition: str | F.Column,
+        batch_id: int | None = None,
+        query_id: str = "default",
+        extracted_at: datetime | None = None,
+    ) -> MergeResult:
+        """Predicate delete (retention sweep / GDPR purge; the Iceberg
+        ``DELETE FROM`` analog) expressed AS CDC: every CURRENT live row
+        matching ``condition`` becomes a tombstone event one LSN above the
+        table's high watermark, merged through the normal path.  That
+        framing buys everything the merge already guarantees: idempotent
+        replay (batch manifest), delete-wins against any in-flight stale
+        update at or below the watermark, bucket-pruned rewrite of only
+        the touched buckets, and downstream propagation — replicas see
+        the purge through ``changes_since``/``read_since`` like any other
+        delete.  NULL-predicate rows don't match (SQL semantics) and stay
+        live."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        highs = [
+            e.get("lsn_max")
+            for e in self.live_files() + self.live_delta_files()
+        ]
+        if highs and all(h is not None for h in highs):
+            high = max(highs)
+        else:  # pre-stats manifests: one column-pruned scan
+            high = (
+                self.read(include_deleted=True, include_meta=True)
+                .agg(F.max("_lsn"))
+                .first()[0]
+                or 0
+            )
+        ev = (
+            self.read()
+            .filter(cond)
+            .select(*self.payload_columns)
+            .withColumn("lsn", F.lit(int(high) + 1))
+            .withColumn("op", F.lit("d"))
+        )
+        return self.merge(
+            ev, batch_id=batch_id, query_id=query_id, extracted_at=extracted_at
+        )
+
     # ---------------------------------------------------------------- write
 
     def _commit(self, snapshot: dict[str, Any]) -> None:

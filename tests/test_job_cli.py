@@ -153,3 +153,33 @@ def test_cli_lookup(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert row["conv_id"] in out and str(row["turn_idx"]) in out
+
+
+def test_cli_delete_where_and_sync(spark, tmp_path, capsys):
+    """delete-where + sync subcommands: purge on the primary, replica
+    catches up from the changelog and converges."""
+    seg = str(tmp_path / "seg_dw")
+    pri = str(tmp_path / "tbl_dw")
+    rep = str(tmp_path / "tbl_dw_r")
+    run(capsys, "gen", "--out", seg, "--events", "1500", "--chunks", "1")
+    run(capsys, "init", "--table", pri, "--buckets", "2")
+    run(capsys, "init", "--table", rep, "--buckets", "2")
+    run(capsys, "tail", "--table", pri, "--source", seg,
+        "--checkpoint", str(tmp_path / "ck_dw"))
+    s0 = run(capsys, "sync", "--table", rep, "--from", pri,
+             "--since-version", "0", "--batch-id", "0")
+    assert not s0["skipped"]
+    pv = s0["primary_version"]
+    d = run(capsys, "delete-where", "--table", pri,
+            "--where", "role = 'tool'", "--batch-id", "99")
+    assert d["deleted_rows"] > 0 and not d["skipped"]
+    # replay of the same purge batch skips
+    d2 = run(capsys, "delete-where", "--table", pri,
+             "--where", "role = 'tool'", "--batch-id", "99")
+    assert d2["skipped"]
+    run(capsys, "sync", "--table", rep, "--from", pri,
+        "--since-version", str(pv), "--batch-id", "1")
+    p = LakeTable.load(spark, pri).read()
+    r = LakeTable.load(spark, rep).read()
+    assert sorted(p.collect()) == sorted(r.collect())
+    assert r.filter("role = 'tool'").count() == 0
