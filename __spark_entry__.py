@@ -385,6 +385,66 @@ def q_delete_where_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _final_payload(t.read())
 
 
+def q_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript assembly — the step that turns the CDC final table into
+    a training corpus: per conversation, the turns in stable turn order
+    collapsed into one document (role-prefixed lines), with turn count and
+    a tool-usage flag.  One hash-partitioned aggregation over the final
+    state; `array_sort(collect_list(struct(...)))` keeps ordering inside
+    the group so no global sort is ever needed — at 100 TB this is one
+    shuffle keyed on conv_id, the same key the table is already bucketed
+    by when bucket_keys=("conv_id",)."""
+    ev = events_from_table(spark, sf_dir)
+    t = LakeTable.create(
+        spark,
+        _fresh_dir("assemble"),
+        TRANSCRIPT_SCHEMA,
+        num_buckets=16,
+        bucket_keys=("conv_id",),
+    )
+    t.merge(ev, batch_id=0)
+    turns = F.array_sort(
+        F.collect_list(F.struct("turn_idx", "role", "text"))
+    )
+    return (
+        t.read()
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    turns,
+                    lambda s: F.concat_ws(": ", s["role"], s["text"]),
+                ),
+                "\n",
+            ).alias("document"),
+            F.max((F.col("tool").isNotNull()).cast("int")).alias("uses_tools"),
+        )
+    )
+
+
+_ORACLE_ASSEMBLY = f"""
+WITH ev0 AS ({DERIVATION_SQL}),
+ranked AS (
+  SELECT ev0.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ev0
+),
+final AS (
+  SELECT conv_id, turn_idx, role, text, tool
+  FROM ranked WHERE rn = 1 AND op <> 'd'
+)
+SELECT
+  conv_id,
+  count(*) AS n_turns,
+  string_agg(concat_ws(': ', role, text), chr(10) ORDER BY turn_idx)
+    AS document,
+  max(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS uses_tools
+FROM final
+GROUP BY conv_id
+"""
+
+
 _ORACLE_DELETE_WHERE = f"""
 WITH ev0 AS ({DERIVATION_SQL}),
 ranked AS (
@@ -1397,6 +1457,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup_state": q_point_lookup_state,
         "replica_sync_final_state": q_replica_sync_final_state,
         "delete_where_final_state": q_delete_where_final_state,
+        "conversation_assembly": q_conversation_assembly,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
         "lineage_accounting": q_lineage_accounting,
         "stateful_sequence_monitor": q_stateful_sequence_monitor,
@@ -1533,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
         "point_lookup_state": _ORACLE_LOOKUP,
         "replica_sync_final_state": _ORACLE_FINAL,
         "delete_where_final_state": _ORACLE_DELETE_WHERE,
+        "conversation_assembly": _ORACLE_ASSEMBLY,
         "cdc_stream_tail_final_state": _ORACLE_FINAL,
         # snapshot-persisted lineage folded across micro-batches must be
         # EXACT event accounting, not an estimate
