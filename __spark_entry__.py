@@ -445,6 +445,201 @@ GROUP BY conv_id
 """
 
 
+def _final_state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final transcript state via the map-side top-1 reduce + delete-wins —
+    the cheap derivation for the analytics-layer queries below (the sink
+    path itself is oracle-covered by cdc_final_state and friends)."""
+    ev = events_from_table(spark, sf_dir)
+    latest = latest_by_reduce(ev, ("conv_id", "turn_idx"), order_col="lsn")
+    return latest.filter(F.col("op") != "d")
+
+
+_SESSION_GAP_US = 86_400 * 1_000_000  # 1 day
+
+
+def q_conversation_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sessionization of the final transcript state: within a
+    conversation (turn order), a gap of more than one day between turns
+    starts a new session — lag + cumulative-sum-of-flags, both windowed
+    over conv_id only, so the whole operator is ONE shuffle keyed on
+    conv_id and no global sort exists anywhere (at 100 TB each
+    conversation's turns sort within their hash partition; a
+    conv-bucketed table layout makes even that shuffle collapse)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    is_new = F.when(gap.isNull() | (gap > F.lit(_SESSION_GAP_US)), 1).otherwise(0)
+    cum = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        _final_state_events(spark, sf_dir)
+        .select("conv_id", "turn_idx", _us("ts").alias("ts_us"))
+        .withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(cum))
+        .groupBy("conv_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+        )
+    )
+
+
+_ORACLE_SESSIONS = f"""
+WITH ev0 AS ({DERIVATION_SQL}),
+ranked AS (
+  SELECT ev0.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ev0
+),
+final AS (
+  SELECT conv_id, turn_idx, ts
+  FROM ranked WHERE rn = 1 AND op <> 'd'
+),
+lagged AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_us
+  FROM final
+),
+flagged AS (
+  SELECT conv_id, turn_idx, ts_us,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+),
+sess AS (
+  SELECT conv_id, ts_us,
+         sum(is_new) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT conv_id, session_id,
+       count(*) AS n_turns,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us
+FROM sess
+GROUP BY conv_id, session_id
+"""
+
+
+def q_conversation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-budget accounting over the final state: per conversation,
+    whitespace-token totals, the user/assistant split, and tool-turn count
+    — all integers, so oracle parity is exact.  Map-side token counting
+    (pure JVM split/filter/size) then one aggregation keyed on conv_id."""
+    from airbyte_custom_spark.functions.text import token_count
+
+    tok = token_count("text")
+    return (
+        _final_state_events(spark, sf_dir)
+        .select("conv_id", "role", "tool", tok.alias("tok"))
+        .groupBy("conv_id")
+        .agg(
+            F.sum("tok").alias("total_tokens"),
+            F.sum(F.when(F.col("role") == "user", F.col("tok")).otherwise(0))
+                .alias("user_tokens"),
+            F.sum(F.when(F.col("role") == "assistant", F.col("tok")).otherwise(0))
+                .alias("assistant_tokens"),
+            F.sum(F.col("tool").isNotNull().cast("long")).alias("n_tool_turns"),
+        )
+    )
+
+
+_ORACLE_TOKEN_BUDGET = f"""
+WITH ev0 AS ({DERIVATION_SQL}),
+ranked AS (
+  SELECT ev0.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ev0
+),
+final AS (
+  SELECT conv_id, role, text, tool
+  FROM ranked WHERE rn = 1 AND op <> 'd'
+),
+tokd AS (
+  SELECT conv_id, role, tool,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS tok
+  FROM final
+)
+SELECT conv_id,
+       sum(tok) AS total_tokens,
+       sum(CASE WHEN role = 'user' THEN tok ELSE 0 END) AS user_tokens,
+       sum(CASE WHEN role = 'assistant' THEN tok ELSE 0 END)
+         AS assistant_tokens,
+       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_turns
+FROM tokd
+GROUP BY conv_id
+"""
+
+
+def q_conversation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level near-dup over ASSEMBLED conversations — the CDC →
+    assembly → MinHash+LSH composition a training pipeline runs before
+    export.  Documents are the role-prefixed per-conversation transcripts;
+    every 10th conversation is planted again under id+10M so the candidate
+    set is non-trivially non-empty.  At threshold 0.9 with 16 bands × 4
+    rows the LSH output is exhaustive ((1-0.9^4)^16 ≈ 4e-8 per-pair miss)
+    and the exact-jaccard verify removes false positives, so the oracle is
+    the all-pairs 3-gram jaccard scan over the same assembled docs.  Scale
+    shape: assembly is one conv_id-keyed aggregation; the LSH self-join
+    ships only (id, band, hash) — no document text crosses that exchange
+    (functions/dedup.py:153)."""
+    from airbyte_custom_spark.functions.dedup import minhash_lsh_candidates
+
+    turns = F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text")))
+    docs = (
+        _final_state_events(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(turns, lambda s: F.concat_ws(": ", s["role"], s["text"])),
+                "\n",
+            ).alias("text")
+        )
+        .select(
+            F.regexp_extract("conv_id", r"conv-(\d+)", 1).cast("long").alias("doc_id"),
+            "text",
+        )
+    )
+    planted = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 10_000_000
+        )
+    )
+    return minhash_lsh_candidates(planted, jaccard_threshold=0.9)
+
+
+_CONV_DOCS_SQL = f"""
+WITH ev0 AS ({DERIVATION_SQL}),
+ranked AS (
+  SELECT ev0.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ev0
+),
+final AS (
+  SELECT conv_id, turn_idx, role, text
+  FROM ranked WHERE rn = 1 AND op <> 'd'
+),
+conv_docs AS (
+  SELECT CAST(substr(conv_id, 6) AS BIGINT) AS doc_id,
+         string_agg(concat_ws(': ', role, text), chr(10) ORDER BY turn_idx)
+           AS text
+  FROM final
+  GROUP BY conv_id
+),
+all_docs AS (
+  SELECT doc_id, text FROM conv_docs
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM conv_docs
+  WHERE doc_id % 10 = 0
+)
+"""
+
+
 _ORACLE_DELETE_WHERE = f"""
 WITH ev0 AS ({DERIVATION_SQL}),
 ranked AS (
@@ -1458,6 +1653,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replica_sync_final_state": q_replica_sync_final_state,
         "delete_where_final_state": q_delete_where_final_state,
         "conversation_assembly": q_conversation_assembly,
+        "conversation_sessions": q_conversation_sessions,
+        "conversation_token_budget": q_conversation_token_budget,
+        "conversation_near_dup": q_conversation_near_dup,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
         "lineage_accounting": q_lineage_accounting,
         "stateful_sequence_monitor": q_stateful_sequence_monitor,
@@ -1595,6 +1793,15 @@ def oracle_sql() -> dict[str, str]:
         "replica_sync_final_state": _ORACLE_FINAL,
         "delete_where_final_state": _ORACLE_DELETE_WHERE,
         "conversation_assembly": _ORACLE_ASSEMBLY,
+        "conversation_sessions": _ORACLE_SESSIONS,
+        "conversation_token_budget": _ORACLE_TOKEN_BUDGET,
+        # assembled-conversation docs feed the SAME exhaustive all-pairs
+        # jaccard CTEs the document-corpus minhash oracle uses
+        "conversation_near_dup": (
+            _CONV_DOCS_SQL
+            + _NGRAM_JAC_CTES
+            + "SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.9"
+        ),
         "cdc_stream_tail_final_state": _ORACLE_FINAL,
         # snapshot-persisted lineage folded across micro-batches must be
         # EXACT event accounting, not an estimate
