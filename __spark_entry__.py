@@ -525,6 +525,111 @@ GROUP BY conv_id, session_id
 """
 
 
+def q_transcript_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub before training export: turns congruent to 3 mod 7 get a
+    deterministic planted contact line (email + phone + IP), then every
+    turn runs through `redact_pii` — a chain of JVM regexp_replace calls,
+    pure map-side codegen, no shuffle beyond the final-state reduce.  The
+    oracle replicates the plant and the exact pattern chain
+    (`redact_pii_sql`), so placeholders and untouched text are both
+    value-checked."""
+    from airbyte_custom_spark.functions.text import redact_pii
+
+    planted = F.when(
+        F.col("turn_idx") % 7 == 3,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("turn_idx").cast("string"),
+            F.lit("@example.com or +1 555 123 4567, ip 10.0.0."),
+            F.col("turn_idx").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    return (
+        _final_state_events(spark, sf_dir)
+        .select("conv_id", "turn_idx", planted.alias("text"))
+        .select(
+            "conv_id", "turn_idx", redact_pii("text").alias("clean_text")
+        )
+    )
+
+
+def _oracle_redaction() -> str:
+    from airbyte_custom_spark.functions.text import redact_pii_sql
+
+    planted = (
+        "CASE WHEN turn_idx % 7 = 3 THEN text || ' contact u' || "
+        "CAST(turn_idx AS VARCHAR) || '@example.com or +1 555 123 4567, "
+        "ip 10.0.0.' || CAST(turn_idx AS VARCHAR) ELSE text END"
+    )
+    return f"""
+WITH ev0 AS ({DERIVATION_SQL}),
+ranked AS (
+  SELECT ev0.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ev0
+),
+final AS (
+  SELECT conv_id, turn_idx, {planted} AS text
+  FROM ranked WHERE rn = 1 AND op <> 'd'
+)
+SELECT conv_id, turn_idx, {redact_pii_sql('text')} AS clean_text
+FROM final
+"""
+
+
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT prompt/response extraction: each user turn paired with the
+    immediately following assistant turn (turn order) — one `lead` window
+    partitioned by conv_id only, then a map-side filter; the single
+    exchange is the conv_id repartition the final-state reduce already
+    pays for on a conv-bucketed layout."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        _final_state_events(spark, sf_dir)
+        .select("conv_id", "turn_idx", "role", "text")
+        .withColumn("next_role", F.lead("role").over(w))
+        .withColumn("next_text", F.lead("text").over(w))
+        .filter((F.col("role") == "user") & (F.col("next_role") == "assistant"))
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("prompt_turn_idx"),
+            F.col("text").alias("prompt"),
+            F.col("next_text").alias("response"),
+        )
+    )
+
+
+_ORACLE_SFT_PAIRS = f"""
+WITH ev0 AS ({DERIVATION_SQL}),
+ranked AS (
+  SELECT ev0.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ev0
+),
+final AS (
+  SELECT conv_id, turn_idx, role, text
+  FROM ranked WHERE rn = 1 AND op <> 'd'
+),
+led AS (
+  SELECT conv_id, turn_idx, role, text,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS next_role,
+         lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS next_text
+  FROM final
+)
+SELECT conv_id,
+       turn_idx AS prompt_turn_idx,
+       text AS prompt,
+       next_text AS response
+FROM led
+WHERE role = 'user' AND next_role = 'assistant'
+"""
+
+
 def q_conversation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-budget accounting over the final state: per conversation,
     whitespace-token totals, the user/assistant split, and tool-turn count
@@ -1654,6 +1759,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_where_final_state": q_delete_where_final_state,
         "conversation_assembly": q_conversation_assembly,
         "conversation_sessions": q_conversation_sessions,
+        "transcript_redaction": q_transcript_redaction,
+        "sft_pairs": q_sft_pairs,
         "conversation_token_budget": q_conversation_token_budget,
         "conversation_near_dup": q_conversation_near_dup,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
@@ -1794,6 +1901,8 @@ def oracle_sql() -> dict[str, str]:
         "delete_where_final_state": _ORACLE_DELETE_WHERE,
         "conversation_assembly": _ORACLE_ASSEMBLY,
         "conversation_sessions": _ORACLE_SESSIONS,
+        "transcript_redaction": _oracle_redaction(),
+        "sft_pairs": _ORACLE_SFT_PAIRS,
         "conversation_token_budget": _ORACLE_TOKEN_BUDGET,
         # assembled-conversation docs feed the SAME exhaustive all-pairs
         # jaccard CTEs the document-corpus minhash oracle uses

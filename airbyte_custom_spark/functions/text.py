@@ -179,3 +179,40 @@ def doc_fingerprint(col: Column | str, window: int = 4) -> Column:
         )
     )
     return F.array_distinct(picked)
+
+
+# (pattern, replacement) — ORDER MATTERS: emails before phones (an email's
+# local part can contain digits), cards before generic phones (16 digits
+# would otherwise half-match the phone pattern).  Patterns are restricted
+# to the regex subset Java (Spark) and RE2 (DuckDB) evaluate identically:
+# no lookaround, no backreferences, explicit character classes.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Mask common PII shapes (emails, card/SSN-like numbers, phones,
+    IPv4) with typed placeholders — the scrub a transcript corpus gets
+    before training export.  A chain of JVM `regexp_replace` calls: pure
+    map-side whole-stage-codegen work, no shuffle, no Python in the path.
+    Heuristic by design (shape-based, not validated) — the training-data
+    stance is to over-redact rather than leak."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_pii_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`redact_pii` (same patterns, same order,
+    'g' flag for global replacement) — used by the oracle queries."""
+    out = expr
+    for pat, repl in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{repl}', 'g')"
+    return out

@@ -123,3 +123,32 @@ def test_h31_duckdb_parity_including_non_bmp(spark):
         con.execute("insert into t values (?, ?)", [i, s])
     want = [r[0] for r in con.execute(f"select {h31_sql('s')} from t order by i").fetchall()]
     assert got == want
+
+
+def test_redact_pii_masks_and_matches_duckdb(spark):
+    """Each PII shape gets its placeholder; transcript-shaped text is left
+    untouched; Spark output equals the DuckDB twin (the oracle contract)."""
+    import duckdb
+
+    from airbyte_custom_spark.functions.text import redact_pii, redact_pii_sql
+    rows = [
+        ("mail john.doe+x@example.com now", "<EMAIL>"),
+        ("card 4111 1111 1111 1111 ok", "<CARD>"),
+        ("ssn 123-45-6789 end", "<SSN>"),
+        ("call +1 555 123 4567 pls", "<PHONE>"),
+        ("ip 192.168.0.1 seen", "<IP>"),
+        ("turn-conv-0:1@rev9880", None),  # transcript text: untouched
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "s string")
+    got = [r[0] for r in df.select(redact_pii("s")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {redact_pii_sql('$1')}", [s]).fetchone()[0]
+        for s, _ in rows
+    ]
+    assert got == want
+    for (src, placeholder), out in zip(rows, got):
+        if placeholder is None:
+            assert out == src
+        else:
+            assert placeholder in out
