@@ -630,6 +630,85 @@ WHERE role = 'user' AND next_role = 'assistant'
 """
 
 
+def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows over the live CDC envelope
+    (`streaming/dedup.py::session_stats`, `F.session_window`): per
+    conversation, change events chain into a session while consecutive
+    gaps stay under 1 day — run as a REAL multi-batch streaming query
+    (sessions merge across micro-batches; complete output mode so the
+    memory sink holds the final merged result, which for session windows
+    equals the batch run by definition — production uses update/append +
+    watermark eviction, pytest-covered).  The DuckDB oracle derives the
+    identical sessions with the lag + cumulative-flag-sum formulation, so
+    Spark's window-merge semantics are value-checked end to end."""
+    import uuid
+
+    from airbyte_custom_spark.schema import CDC_EVENT_SCHEMA
+    from airbyte_custom_spark.streaming.dedup import session_stats
+
+    ev = events_from_table(spark, sf_dir)
+    src = _fresh_dir("sesswal")
+    write_event_chunks(ev, src, n_chunks=4)
+    name = "sess_" + uuid.uuid4().hex[:12]
+    stream = (
+        spark.readStream.schema(CDC_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    q = (
+        session_stats(stream, gap="1 day", horizon="365 days")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", _fresh_dir("sessckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name).select(
+        "conv_id",
+        F.unix_micros(F.col("session_start").cast("timestamp"))
+            .alias("session_start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp"))
+            .alias("session_end_us"),
+        "events",
+        "min_lsn",
+        "max_lsn",
+    )
+
+
+_ORACLE_SESSION_WINDOWS = f"""
+WITH ev0 AS ({DERIVATION_SQL}),
+lagged AS (
+  SELECT conv_id, lsn, _ab_cdc_updated_at AS ts,
+         lag(_ab_cdc_updated_at) OVER (
+           PARTITION BY conv_id ORDER BY _ab_cdc_updated_at, lsn) AS prev
+  FROM ev0
+),
+flagged AS (
+  SELECT conv_id, lsn, ts,
+         CASE WHEN prev IS NULL
+                   OR epoch_us(ts) - epoch_us(prev) >= {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+),
+sess AS (
+  SELECT conv_id, lsn, ts,
+         sum(is_new) OVER (PARTITION BY conv_id ORDER BY ts, lsn
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT conv_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + {_SESSION_GAP_US} AS session_end_us,
+       count(*) AS events,
+       min(lsn) AS min_lsn,
+       max(lsn) AS max_lsn
+FROM sess
+GROUP BY conv_id, sid
+"""
+
+
 def q_conversation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-budget accounting over the final state: per conversation,
     whitespace-token totals, the user/assistant split, and tool-turn count
@@ -1760,6 +1839,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_assembly": q_conversation_assembly,
         "conversation_sessions": q_conversation_sessions,
         "transcript_redaction": q_transcript_redaction,
+        "session_window_rollup": q_session_window_rollup,
         "sft_pairs": q_sft_pairs,
         "conversation_token_budget": q_conversation_token_budget,
         "conversation_near_dup": q_conversation_near_dup,
@@ -1902,6 +1982,7 @@ def oracle_sql() -> dict[str, str]:
         "conversation_assembly": _ORACLE_ASSEMBLY,
         "conversation_sessions": _ORACLE_SESSIONS,
         "transcript_redaction": _oracle_redaction(),
+        "session_window_rollup": _ORACLE_SESSION_WINDOWS,
         "sft_pairs": _ORACLE_SFT_PAIRS,
         "conversation_token_budget": _ORACLE_TOKEN_BUDGET,
         # assembled-conversation docs feed the SAME exhaustive all-pairs

@@ -71,3 +71,43 @@ def event_time_stats(
         )
     )
     return agg.select(*out_keys, "events", "min_lsn", "max_lsn")
+
+
+def session_stats(
+    stream_df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "_ab_cdc_updated_at",
+    gap: str = "1 day",
+    horizon: str = "7 days",
+):
+    """Per-key session-window aggregation over event time — Spark's
+    native merging session windows (`F.session_window`): a key's events
+    chain into one session while each consecutive gap stays under
+    ``gap``; windows merge across micro-batches, watermark evicts closed
+    sessions (bounded state: live sessions only).
+
+    Works on a batch DataFrame too (withWatermark is a no-op there),
+    where the result equals the lag/cumulative-flag-sum SQL derivation —
+    which is exactly what the driver-contract oracle value-checks the
+    streaming run against.  Merge rule (and the oracle's): a new session
+    starts when ts - prev_ts >= gap (session windows are half-open
+    [ts, ts+gap) — touching windows do NOT merge).
+
+    Session end is Spark's convention: last event + gap."""
+    agg = (
+        stream_df.withWatermark(ts_col, horizon)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+        )
+    )
+    return agg.select(
+        F.col(key_col),
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "events",
+        "min_lsn",
+        "max_lsn",
+    )

@@ -108,3 +108,57 @@ def test_late_rows_beyond_horizon_are_dropped(spark, tmp_path):
     eleven = datetime(2024, 6, 1, 11, 0, tzinfo=timezone.utc)
     assert eleven not in counts2          # late row never created its window
     assert counts2[noon] == 1             # and didn't inflate an existing one
+
+
+def test_session_windows_merge_across_micro_batches(spark, tmp_path):
+    """One conversation's session arrives split across micro-batches (one
+    file per trigger); the complete-mode result must hold ONE merged
+    session per gap-chain — identical to running session_stats in batch."""
+    from datetime import datetime, timezone
+
+    from airbyte_custom_spark.streaming.dedup import session_stats
+
+    def t(h):
+        return datetime(2026, 1, 1, h, tzinfo=timezone.utc)
+
+    rows = [
+        # conv A: hours 0,1,2 chain (gap 90 min) -> one session of 3
+        (1, "u", "A", t(0)), (2, "u", "A", t(1)), (3, "u", "A", t(2)),
+        # conv A: hour 9 -> second session (gap from 2h is 7h >= 90min)
+        (4, "u", "A", t(9)),
+        # conv B: single event
+        (5, "c", "B", t(5)),
+    ]
+    df = spark.createDataFrame(
+        [(lsn, op, c, ts) for lsn, op, c, ts in rows],
+        "lsn long, op string, conv_id string, _ab_cdc_updated_at timestamp",
+    )
+    src = str(tmp_path / "wal")
+    # one event per file => one event per micro-batch: sessions MUST merge
+    # across triggers, not within one
+    df.repartition(len(rows), "lsn").write.parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        session_stats(stream, gap="90 minutes", horizon="30 days")
+        .writeStream.format("memory")
+        .queryName("sessmerge")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.conv_id, r.events, r.min_lsn, r.max_lsn)
+        for r in spark.table("sessmerge").collect()
+    )
+    assert got == [("A", 1, 4, 4), ("A", 3, 1, 3), ("B", 1, 5, 5)]
+    want = sorted(
+        (r.conv_id, r.events, r.min_lsn, r.max_lsn)
+        for r in session_stats(df, gap="90 minutes").collect()
+    )
+    assert got == want
