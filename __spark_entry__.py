@@ -760,6 +760,86 @@ GROUP BY conv_id
 """
 
 
+def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-export pipeline in one plan: CDC final state →
+    planted-PII scrub (`redact_pii`, map-side regex chain) → per-
+    conversation assembly (one conv_id-keyed aggregation, in-group
+    array_sort — no global sort) → quality gate (turn-count band + token
+    floor on the assembled document).  One shuffle end to end after the
+    final-state reduce; everything else is whole-stage-codegen map work.
+    The oracle rebuilds the identical corpus in SQL, so the composition —
+    not just each stage — is value-checked."""
+    from airbyte_custom_spark.functions.text import redact_pii, token_count
+
+    planted = F.when(
+        F.col("turn_idx") % 7 == 3,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("turn_idx").cast("string"),
+            F.lit("@example.com or +1 555 123 4567, ip 10.0.0."),
+            F.col("turn_idx").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    turns = F.array_sort(F.collect_list(F.struct("turn_idx", "role", "clean")))
+    docs = (
+        _final_state_events(spark, sf_dir)
+        .select("conv_id", "turn_idx", "role", planted.alias("text"))
+        .withColumn("clean", redact_pii("text"))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_join(
+                F.transform(turns, lambda s: F.concat_ws(": ", s["role"], s["clean"])),
+                "\n",
+            ).alias("document"),
+        )
+        .withColumn("total_tokens", token_count("document"))
+    )
+    return docs.filter(
+        F.col("n_turns").between(2, 30) & (F.col("total_tokens") >= 5)
+    ).select("conv_id", "n_turns", "total_tokens", "document")
+
+
+def _oracle_corpus_export() -> str:
+    from airbyte_custom_spark.functions.text import redact_pii_sql
+
+    planted = (
+        "CASE WHEN turn_idx % 7 = 3 THEN text || ' contact u' || "
+        "CAST(turn_idx AS VARCHAR) || '@example.com or +1 555 123 4567, "
+        "ip 10.0.0.' || CAST(turn_idx AS VARCHAR) ELSE text END"
+    )
+    return f"""
+WITH ev0 AS ({DERIVATION_SQL}),
+ranked AS (
+  SELECT ev0.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ev0
+),
+final AS (
+  SELECT conv_id, turn_idx, role, {planted} AS text
+  FROM ranked WHERE rn = 1 AND op <> 'd'
+),
+docs AS (
+  SELECT conv_id,
+         count(*) AS n_turns,
+         string_agg(concat_ws(': ', role, {redact_pii_sql('text')}),
+                    chr(10) ORDER BY turn_idx) AS document
+  FROM final
+  GROUP BY conv_id
+),
+scored AS (
+  SELECT conv_id, n_turns, document,
+         len(list_filter(regexp_split_to_array(document, '\\s+'),
+                         x -> x <> '')) AS total_tokens
+  FROM docs
+)
+SELECT conv_id, n_turns, total_tokens, document
+FROM scored
+WHERE n_turns BETWEEN 2 AND 30 AND total_tokens >= 5
+"""
+
+
 def q_conversation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level near-dup over ASSEMBLED conversations — the CDC →
     assembly → MinHash+LSH composition a training pipeline runs before
@@ -1841,6 +1921,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_redaction": q_transcript_redaction,
         "session_window_rollup": q_session_window_rollup,
         "sft_pairs": q_sft_pairs,
+        "corpus_export": q_corpus_export,
         "conversation_token_budget": q_conversation_token_budget,
         "conversation_near_dup": q_conversation_near_dup,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
@@ -1984,6 +2065,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_redaction": _oracle_redaction(),
         "session_window_rollup": _ORACLE_SESSION_WINDOWS,
         "sft_pairs": _ORACLE_SFT_PAIRS,
+        "corpus_export": _oracle_corpus_export(),
         "conversation_token_budget": _ORACLE_TOKEN_BUDGET,
         # assembled-conversation docs feed the SAME exhaustive all-pairs
         # jaccard CTEs the document-corpus minhash oracle uses
