@@ -630,6 +630,73 @@ WHERE role = 'user' AND next_role = 'assistant'
 """
 
 
+def q_incremental_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus refresh — the daily-export composition: after
+    three merged batches, `read_since(cursor)` yields the keys whose
+    winner landed after the cursor (file-skipping by per-file lsn bounds),
+    their DISTINCT conv_ids become the touched-conversation set, and ONLY
+    those conversations are re-assembled from the full final state
+    (broadcast semi-join: the big side never shuffles for the filter, and
+    the assembly aggregation shuffles O(touched convs), not O(table)).  A
+    conversation whose only post-cursor change is a tombstone re-assembles
+    without the deleted turn — or drops out entirely when nothing is left.
+    At 100 TB with a daily cursor this touches the recent commits plus the
+    touched conversations' buckets — never the whole corpus."""
+    ev = events_from_table(spark, sf_dir)
+    hi = ev.agg(F.max("lsn")).first()[0] or 0
+    t = LakeTable.create(
+        spark, _fresh_dir("refresh"), TRANSCRIPT_SCHEMA,
+        num_buckets=16, bucket_keys=("conv_id",),
+    )
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    for i in range(3):
+        batch = ev.filter((F.col("lsn") > cuts[i]) & (F.col("lsn") <= cuts[i + 1]))
+        t.merge(batch, batch_id=i)
+    cursor = 2 * hi // 3
+    changed = t.read_since(cursor).select("conv_id").distinct()
+    turns = F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text")))
+    return (
+        t.read()
+        .join(F.broadcast(changed), "conv_id", "leftsemi")
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_join(
+                F.transform(turns, lambda s: F.concat_ws(": ", s["role"], s["text"])),
+                "\n",
+            ).alias("document"),
+            F.max((F.col("tool").isNotNull()).cast("int")).alias("uses_tools"),
+        )
+    )
+
+
+_ORACLE_CORPUS_REFRESH = f"""
+WITH ev0 AS ({DERIVATION_SQL}),
+ranked AS (
+  SELECT ev0.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ev0
+),
+final AS (
+  SELECT conv_id, turn_idx, role, text, tool
+  FROM ranked WHERE rn = 1 AND op <> 'd'
+),
+changed AS (
+  SELECT DISTINCT conv_id FROM ev0
+  WHERE lsn > (2 * (SELECT max(lsn) FROM ev0)) // 3
+)
+SELECT
+  f.conv_id,
+  count(*) AS n_turns,
+  string_agg(concat_ws(': ', f.role, f.text), chr(10) ORDER BY f.turn_idx)
+    AS document,
+  max(CASE WHEN f.tool IS NOT NULL THEN 1 ELSE 0 END) AS uses_tools
+FROM final f
+JOIN changed c ON c.conv_id = f.conv_id
+GROUP BY f.conv_id
+"""
+
+
 def q_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows over the live CDC envelope
     (`streaming/dedup.py::session_stats`, `F.session_window`): per
@@ -1922,6 +1989,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_rollup": q_session_window_rollup,
         "sft_pairs": q_sft_pairs,
         "corpus_export": q_corpus_export,
+        "incremental_corpus_refresh": q_incremental_corpus_refresh,
         "conversation_token_budget": q_conversation_token_budget,
         "conversation_near_dup": q_conversation_near_dup,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
@@ -2066,6 +2134,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window_rollup": _ORACLE_SESSION_WINDOWS,
         "sft_pairs": _ORACLE_SFT_PAIRS,
         "corpus_export": _oracle_corpus_export(),
+        "incremental_corpus_refresh": _ORACLE_CORPUS_REFRESH,
         "conversation_token_budget": _ORACLE_TOKEN_BUDGET,
         # assembled-conversation docs feed the SAME exhaustive all-pairs
         # jaccard CTEs the document-corpus minhash oracle uses
