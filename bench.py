@@ -310,6 +310,30 @@ def child_headline_run(n_events: int, seg_dir: str) -> None:
         f"{head['final_rows']:,}-row table): "
         f"pruned {queries['lookup_pruned']:.2f}s vs full-scan "
         f"{queries['lookup_fullscan']:.2f}s")
+    # corpus-export micro: assemble the headline table into per-conversation
+    # training documents — PII scrub (map-side regexp chain) + ONE
+    # conv_id-keyed aggregation with in-group array_sort (no global sort).
+    # This is the analytics-layer hot path (SCALE.md §7a) at headline scale.
+    from airbyte_custom_spark.functions.text import redact_pii
+
+    t0 = time.monotonic()
+    turns = F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text")))
+    (
+        serve.read()
+        .withColumn("text", redact_pii(F.coalesce(F.col("text"), F.lit(""))))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_join(
+                F.transform(turns, lambda s: F.concat_ws(": ", s["role"], s["text"])),
+                "\n",
+            ).alias("document"),
+        )
+        .write.mode("overwrite").format("noop").save()
+    )
+    queries["corpus_assembly"] = round(time.monotonic() - t0, 3)
+    log(f"  corpus_assembly: {queries['corpus_assembly']:.1f}s "
+        f"({head['final_rows']:,} rows → documents, scrub + one agg)")
     for d in (cow_tbl, mor_tbl, head["table_dir"]):
         shutil.rmtree(d, ignore_errors=True)
 
