@@ -172,6 +172,34 @@ def q_changelog_between_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changes_since_wide_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`changes_since` across a WIDE version gap (a replica catching up
+    after a long outage): `broadcast_threshold_rows=0` forces the
+    scale path — the changed-key set is NOT broadcast (a real wide gap is
+    billions of keys; a forced broadcast OOMs the driver), both liveness
+    joins run as shuffled sort-merge, and the old-version scan stays
+    bucket-pruned.  Values must be identical to the broadcast path —
+    the oracle is the same net-changes SQL, cut at 1/3 of the WAL
+    (changelog_between_versions cuts at 2/3, so the two queries check
+    different change sets)."""
+    ev = events_from_table(spark, sf_dir)
+    hi = ev.agg(F.max("lsn")).first()[0] or 0
+    t = LakeTable.create(
+        spark, _fresh_dir("widegap"), TRANSCRIPT_SCHEMA, num_buckets=16
+    )
+    cut = hi // 3
+    t.merge(ev.filter(F.col("lsn") <= cut), batch_id=0)
+    v_from = t.version
+    t.merge(ev.filter(F.col("lsn") > cut), batch_id=1)
+    out = t.changes_since(v_from, broadcast_threshold_rows=0)
+    return out.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("_lsn").alias("lsn"),
+        "change_op",
+    )
+
+
 def q_incremental_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downstream incremental export (`read_since`): keys whose CURRENT
     winning version landed after a cursor — upserts AND tombstones, the
@@ -512,8 +540,9 @@ flagged AS (
 ),
 sess AS (
   SELECT conv_id, ts_us,
-         sum(is_new) OVER (PARTITION BY conv_id ORDER BY turn_idx
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(is_new) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM flagged
 )
 SELECT conv_id, session_id,
@@ -641,7 +670,11 @@ def q_incremental_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversation whose only post-cursor change is a tombstone re-assembles
     without the deleted turn — or drops out entirely when nothing is left.
     At 100 TB with a daily cursor this touches the recent commits plus the
-    touched conversations' buckets — never the whole corpus."""
+    touched conversations' buckets — never the whole corpus.  The
+    transform is the SHARED `functions/corpus.py::refresh_corpus` — the
+    same code the `job.py refresh-corpus` CLI ships."""
+    from airbyte_custom_spark.functions.corpus import refresh_corpus
+
     ev = events_from_table(spark, sf_dir)
     hi = ev.agg(F.max("lsn")).first()[0] or 0
     t = LakeTable.create(
@@ -653,21 +686,7 @@ def q_incremental_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = ev.filter((F.col("lsn") > cuts[i]) & (F.col("lsn") <= cuts[i + 1]))
         t.merge(batch, batch_id=i)
     cursor = 2 * hi // 3
-    changed = t.read_since(cursor).select("conv_id").distinct()
-    turns = F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text")))
-    return (
-        t.read()
-        .join(F.broadcast(changed), "conv_id", "leftsemi")
-        .groupBy("conv_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_turns"),
-            F.array_join(
-                F.transform(turns, lambda s: F.concat_ws(": ", s["role"], s["text"])),
-                "\n",
-            ).alias("document"),
-            F.max((F.col("tool").isNotNull()).cast("int")).alias("uses_tools"),
-        )
-    )
+    return refresh_corpus(t, cursor)
 
 
 _ORACLE_CORPUS_REFRESH = f"""
@@ -817,11 +836,68 @@ tokd AS (
   FROM final
 )
 SELECT conv_id,
-       sum(tok) AS total_tokens,
-       sum(CASE WHEN role = 'user' THEN tok ELSE 0 END) AS user_tokens,
-       sum(CASE WHEN role = 'assistant' THEN tok ELSE 0 END)
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN role = 'user' THEN tok ELSE 0 END) AS BIGINT)
+         AS user_tokens,
+       CAST(sum(CASE WHEN role = 'assistant' THEN tok ELSE 0 END) AS BIGINT)
          AS assistant_tokens,
-       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_turns
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool_turns
+FROM tokd
+GROUP BY conv_id
+"""
+
+
+def q_conversation_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-budget accounting under the pinned BPE merge table
+    (`functions/text.py BPE_MERGES`): per conversation, exact subword
+    token totals and the user/assistant split.  Unlike the whitespace
+    budget, these counts mean something for a subword-tokenized training
+    run — and the encode is still pure JVM map work (char split + a
+    literal-replace merge chain inside a higher-order transform), no
+    Python, no extra shuffle beyond the one conv_id aggregation."""
+    from airbyte_custom_spark.functions.text import bpe_vocab_token_count
+
+    tok = bpe_vocab_token_count("text")
+    return (
+        _final_state_events(spark, sf_dir)
+        .select("conv_id", "role", tok.alias("tok"))
+        .groupBy("conv_id")
+        .agg(
+            F.sum("tok").alias("bpe_tokens"),
+            F.sum(F.when(F.col("role") == "user", F.col("tok")).otherwise(0))
+                .alias("user_bpe_tokens"),
+            F.sum(F.when(F.col("role") == "assistant", F.col("tok")).otherwise(0))
+                .alias("assistant_bpe_tokens"),
+        )
+    )
+
+
+def _oracle_bpe_budget() -> str:
+    from airbyte_custom_spark.functions.text import bpe_vocab_token_count_sql
+
+    tok = bpe_vocab_token_count_sql("text")
+    return f"""
+WITH ev0 AS ({DERIVATION_SQL}),
+ranked AS (
+  SELECT ev0.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ev0
+),
+final AS (
+  SELECT conv_id, role, text
+  FROM ranked WHERE rn = 1 AND op <> 'd'
+),
+tokd AS (
+  SELECT conv_id, role, {tok} AS tok
+  FROM final
+)
+SELECT conv_id,
+       CAST(sum(tok) AS BIGINT) AS bpe_tokens,
+       CAST(sum(CASE WHEN role = 'user' THEN tok ELSE 0 END) AS BIGINT)
+         AS user_bpe_tokens,
+       CAST(sum(CASE WHEN role = 'assistant' THEN tok ELSE 0 END) AS BIGINT)
+         AS assistant_bpe_tokens
 FROM tokd
 GROUP BY conv_id
 """
@@ -835,8 +911,11 @@ def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor on the assembled document).  One shuffle end to end after the
     final-state reduce; everything else is whole-stage-codegen map work.
     The oracle rebuilds the identical corpus in SQL, so the composition —
-    not just each stage — is value-checked."""
-    from airbyte_custom_spark.functions.text import redact_pii, token_count
+    not just each stage — is value-checked.  The transform is the SHARED
+    `functions/corpus.py::assemble_corpus` — the same code the
+    `job.py corpus-export` CLI ships, so the oracle certifies the operable
+    path, not a test-only twin."""
+    from airbyte_custom_spark.functions.corpus import assemble_corpus
 
     planted = F.when(
         F.col("turn_idx") % 7 == 3,
@@ -848,24 +927,10 @@ def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("turn_idx").cast("string"),
         ),
     ).otherwise(F.col("text"))
-    turns = F.array_sort(F.collect_list(F.struct("turn_idx", "role", "clean")))
-    docs = (
+    return assemble_corpus(
         _final_state_events(spark, sf_dir)
         .select("conv_id", "turn_idx", "role", planted.alias("text"))
-        .withColumn("clean", redact_pii("text"))
-        .groupBy("conv_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_turns"),
-            F.array_join(
-                F.transform(turns, lambda s: F.concat_ws(": ", s["role"], s["clean"])),
-                "\n",
-            ).alias("document"),
-        )
-        .withColumn("total_tokens", token_count("document"))
     )
-    return docs.filter(
-        F.col("n_turns").between(2, 30) & (F.col("total_tokens") >= 5)
-    ).select("conv_id", "n_turns", "total_tokens", "document")
 
 
 def _oracle_corpus_export() -> str:
@@ -1962,27 +2027,44 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = None  # set belo
 
 
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver's correctness harness checks the FIRST 50 registry
+    # entries per round.  Ordering policy (round 5): queries that have
+    # never had a driver row, or whose last row is stale (r03), lead the
+    # registry; entries whose values are identical to another checked
+    # query (the shared final-state table — equality is itself
+    # pytest-asserted in tests/test_final_state_variants.py) or that
+    # carry 4 rounds of driver passes rotate to slots 51+.  Every demoted
+    # query remains fully runnable and oracle-paired; its pass history
+    # lives in CORRECTNESS_r0{1..4}.json.
     return {
+        # --- never driver-checked before round 5 ---
+        "dedup_components": q_dedup_components,
+        "corpus_dedup": q_corpus_dedup,
+        # --- stale since r03 (driver slot overflow in r04) ---
+        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh_ann": q_embedding_lsh_ann,
+        "embedding_ivf_ann": q_embedding_ivf_ann,
+        "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_features": q_multimodal_features,
+        # --- CDC core ---
         "cdc_flatten_events": q_cdc_flatten_events,
         "cdc_latest_per_key": q_cdc_latest_per_key,
         "cdc_final_state": q_cdc_final_state,
         "json_cdc_final_state": q_json_cdc_final_state,
         "json_nested_final_state": q_json_nested_final_state,
-        "json_raw_retype_final_state": q_json_raw_retype_final_state,
         "json_evolution_final_state": q_json_evolution_final_state,
         "json_widening_final_state": q_json_widening_final_state,
-        "schema_rename_final_state": q_schema_rename_final_state,
-        "cdc_final_state_incremental": q_cdc_final_state_incremental,
-        "mor_final_state": q_mor_final_state,
-        "rebucket_final_state": q_rebucket_final_state,
+        # --- lake ops with distinct result tables ---
         "changelog_between_versions": q_changelog_between_versions,
         "incremental_export": q_incremental_export,
         "time_travel_final_state": q_time_travel_final_state,
         "rollback_excise_final_state": q_rollback_excise_final_state,
-        "wap_publish_final_state": q_wap_publish_final_state,
         "point_lookup_state": q_point_lookup_state,
-        "replica_sync_final_state": q_replica_sync_final_state,
         "delete_where_final_state": q_delete_where_final_state,
+        "changes_since_wide_gap": q_changes_since_wide_gap,
+        # --- transcript analytics / training export ---
         "conversation_assembly": q_conversation_assembly,
         "conversation_sessions": q_conversation_sessions,
         "transcript_redaction": q_transcript_redaction,
@@ -1991,20 +2073,20 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_export": q_corpus_export,
         "incremental_corpus_refresh": q_incremental_corpus_refresh,
         "conversation_token_budget": q_conversation_token_budget,
+        "conversation_bpe_budget": q_conversation_bpe_budget,
         "conversation_near_dup": q_conversation_near_dup,
-        "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
+        # --- streaming / accounting / sources ---
         "lineage_accounting": q_lineage_accounting,
         "stateful_sequence_monitor": q_stateful_sequence_monitor,
         "event_time_rollup": q_event_time_rollup,
         "raw_table_dedup": q_raw_table_dedup,
         "incremental_cursor_scan": q_incremental_cursor_scan,
         "full_refresh_scan": q_full_refresh_scan,
-        "chunked_snapshot_plan": q_chunked_snapshot_plan,
         "scd2_history": q_scd2_history,
         "name_normalization": q_name_normalization,
         "validate_pk_counts": q_validate_pk_counts,
         "raw_table_envelope": q_raw_table_envelope,
-        # training-data pipeline ops
+        # --- training-data pipeline ops ---
         "doc_text_stats": q_doc_text_stats,
         "profile_columns": q_profile_columns,
         "doc_lang_hits": q_doc_lang_hits,
@@ -2012,17 +2094,18 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        # ---- slot 51+ below: rotated out this round (see policy note) ----
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
-        "dedup_components": q_dedup_components,
-        "corpus_dedup": q_corpus_dedup,
-        "dedup_simhash": q_dedup_simhash,
-        "embedding_topk": q_embedding_topk,
-        "embedding_lsh_ann": q_embedding_lsh_ann,
-        "embedding_ivf_ann": q_embedding_ivf_ann,
-        "embedding_near_dups": q_embedding_near_dups,
-        "multimodal_features": q_multimodal_features,
+        "json_raw_retype_final_state": q_json_raw_retype_final_state,
+        "schema_rename_final_state": q_schema_rename_final_state,
+        "cdc_final_state_incremental": q_cdc_final_state_incremental,
+        "mor_final_state": q_mor_final_state,
+        "rebucket_final_state": q_rebucket_final_state,
+        "replica_sync_final_state": q_replica_sync_final_state,
+        "wap_publish_final_state": q_wap_publish_final_state,
+        "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
+        "chunked_snapshot_plan": q_chunked_snapshot_plan,
     }
 
 
@@ -2108,6 +2191,40 @@ def oracle_sql() -> dict[str, str]:
               ON n.conv_id = o.conv_id AND n.turn_idx = o.turn_idx
             WHERE NOT (n.op = 'd' AND o.conv_id IS NULL)
         """,
+        # same net-changes semantics, 1/3 cut — the wide-gap (shuffled,
+        # non-broadcast) changes_since path must produce identical values
+        "changes_since_wide_gap": f"""
+            WITH ev0 AS ({ev}),
+            ranked_new AS (
+              SELECT ev0.*, row_number() OVER (
+                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+              FROM ev0
+            ),
+            old_ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+              FROM ev0
+              WHERE lsn <= (SELECT max(lsn) FROM ev0) // 3
+            ),
+            old_live AS (
+              SELECT conv_id, turn_idx FROM old_ranked
+              WHERE rn = 1 AND op <> 'd'
+            ),
+            new_winners AS (
+              SELECT * FROM ranked_new
+              WHERE rn = 1
+                AND lsn > (SELECT max(lsn) FROM ev0) // 3
+            )
+            SELECT n.conv_id, n.turn_idx, n.role, n.text, n.tool,
+                   epoch_us(n.ts) AS ts_us, n.lsn,
+                   CASE WHEN n.op = 'd' THEN 'd'
+                        WHEN o.conv_id IS NOT NULL THEN 'u'
+                        ELSE 'i' END AS change_op
+            FROM new_winners n
+            LEFT JOIN old_live o
+              ON n.conv_id = o.conv_id AND n.turn_idx = o.turn_idx
+            WHERE NOT (n.op = 'd' AND o.conv_id IS NULL)
+        """,
         # winners (incl. delete winners) strictly after the 2/3 cursor —
         # the read_since export feed
         "incremental_export": f"""
@@ -2136,6 +2253,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_export": _oracle_corpus_export(),
         "incremental_corpus_refresh": _ORACLE_CORPUS_REFRESH,
         "conversation_token_budget": _ORACLE_TOKEN_BUDGET,
+        "conversation_bpe_budget": _oracle_bpe_budget(),
         # assembled-conversation docs feed the SAME exhaustive all-pairs
         # jaccard CTEs the document-corpus minhash oracle uses
         "conversation_near_dup": (

@@ -1,0 +1,90 @@
+"""Training-corpus assembly over transcript final state — the operable
+core of the training-export path (shared by the `__spark_entry__`
+oracle-checked queries and the `job.py corpus-export` / `refresh-corpus`
+CLI, so the CLI ships exactly the semantics the oracles certify).
+
+Scale shape: everything here is ONE conv_id-keyed aggregation plus
+map-side JVM work (regex redaction chain, in-group array_sort — never a
+global sort), so a 100-TB corpus export shuffles each row once.  The
+incremental refresh reads only the post-cursor commits (file-skipped
+``read_since``) and re-assembles only the touched conversations
+(broadcast semi-join against their DISTINCT conv_ids — bounded by the
+number of touched conversations, not rows).
+
+Reference anchor: the export/refresh composition mirrors the
+typing-deduping final-table contract (`DefaultTyperDeduper.java`) turned
+into a corpus artifact — final state in, training documents out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from airbyte_custom_spark.functions.text import redact_pii, token_count
+
+
+def assemble_corpus(
+    turns_df: DataFrame,
+    *,
+    redact: bool = True,
+    min_turns: int = 2,
+    max_turns: int = 30,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """Turn rows (``conv_id, turn_idx, role, text``) → gated training
+    documents (``conv_id, n_turns, total_tokens, document``).
+
+    PII scrub (optional) → per-conversation assembly (turns sorted
+    in-group, ``role: text`` lines) → quality gate (turn-count band +
+    token floor on the assembled document)."""
+    rows = turns_df.select("conv_id", "turn_idx", "role", "text")
+    clean = redact_pii("text") if redact else F.col("text")
+    turns = F.array_sort(F.collect_list(F.struct("turn_idx", "role", "clean")))
+    docs = (
+        rows.withColumn("clean", clean)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    turns, lambda s: F.concat_ws(": ", s["role"], s["clean"])
+                ),
+                "\n",
+            ).alias("document"),
+        )
+        .withColumn("total_tokens", token_count("document"))
+    )
+    return docs.filter(
+        F.col("n_turns").between(min_turns, max_turns)
+        & (F.col("total_tokens") >= min_tokens)
+    ).select("conv_id", "n_turns", "total_tokens", "document")
+
+
+def refresh_corpus(table, cursor: int) -> DataFrame:
+    """Incremental (daily-export) refresh: re-assemble ONLY the
+    conversations with a post-``cursor`` winner.
+
+    ``read_since(cursor)`` yields the changed keys (file-skipped, O(changed
+    data)); their DISTINCT conv_ids gate the full final state with a
+    broadcast semi-join (bounded by touched conversations); the assembly
+    aggregation then shuffles O(touched convs), never O(table).  A
+    conversation whose only post-cursor change is a tombstone re-assembles
+    without the deleted turn — or drops out entirely when nothing is
+    left."""
+    changed = table.read_since(int(cursor)).select("conv_id").distinct()
+    turns = F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text")))
+    return (
+        table.read()
+        .join(F.broadcast(changed), "conv_id", "leftsemi")
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    turns, lambda s: F.concat_ws(": ", s["role"], s["text"])
+                ),
+                "\n",
+            ).alias("document"),
+            F.max((F.col("tool").isNotNull()).cast("int")).alias("uses_tools"),
+        )
+    )

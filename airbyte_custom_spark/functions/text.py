@@ -43,6 +43,59 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
 
 
+# Frozen byte-pair-encoding merge table, applied in priority order — the
+# actual BPE encode algorithm (Sennrich et al. 2016: start from characters,
+# apply each learned merge rule everywhere it occurs, highest-priority
+# first), with a small pinned rule set standing in for a learned one.  The
+# merges are plain lowercase ASCII so the whole encode is a chain of
+# LITERAL string replaces — pure JVM whole-stage-codegen in Spark and an
+# identical `replace` chain in the DuckDB oracle (bpe_vocab_token_count_sql)
+# — no Python in the row path, unlike a vocab-dict UDF.  Later rules build
+# on earlier outputs (th+e, an+d, er+s), like a real merge table.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("r", "e"),
+    ("o", "n"), ("e", "r"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("an", "d"), ("in", "g"), ("e", "s"), ("s", "t"), ("o", "u"),
+    ("t", "o"), ("i", "t"), ("i", "s"), ("a", "l"), ("l", "l"),
+    ("e", "d"), ("c", "h"), ("o", "m"), ("er", "s"), ("the", "r"),
+]
+
+
+def _bpe_word_token_count(word: Column) -> Column:
+    # char-split the word (symbols separated by spaces — words were split
+    # ON whitespace, so the separator cannot collide), run the merge
+    # chain, count surviving symbols
+    s = F.trim(F.regexp_replace(word, F.lit("(.)"), F.lit("$1 ")))
+    for a, b in BPE_MERGES:
+        s = F.replace(s, F.lit(f"{a} {b}"), F.lit(f"{a}{b}"))
+    return F.size(F.split(s, F.lit(" ")))
+
+
+def bpe_vocab_token_count(col: Column | str) -> Column:
+    """Exact token count under the pinned :data:`BPE_MERGES` table: per
+    whitespace word, characters merged by the rule chain; summed over the
+    text.  Pure JVM (higher-order transform + literal replaces) — a real
+    subword budget, scale-linear map work."""
+    per_word = F.transform(tokens(col), _bpe_word_token_count)
+    return F.aggregate(
+        per_word, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+
+
+def bpe_vocab_token_count_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`bpe_vocab_token_count` — same merge
+    table, same order, same left-to-right non-overlapping `replace`
+    semantics."""
+    s = f"trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for a, b in BPE_MERGES:
+        s = f"replace({s}, '{a} {b}', '{a}{b}')"
+    return (
+        "CAST(coalesce(list_sum(list_transform("
+        f"list_filter(regexp_split_to_array({expr}, '\\s+'), x -> x <> ''), "
+        f"w -> len(string_split({s}, ' ')))), 0) AS BIGINT)"
+    )
+
+
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
     toks = tokens(col)
     hits = F.filter(toks, lambda x: F.lower(x).isin(STOPWORDS[lang]))

@@ -33,6 +33,8 @@ import argparse
 import json
 import sys
 
+from pyspark.sql import functions as F
+
 from airbyte_custom_spark.config import IngestConfig
 from airbyte_custom_spark.lake.table import LakeTable
 from airbyte_custom_spark.schema import TRANSCRIPT_SCHEMA
@@ -262,6 +264,29 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     gct = sub.add_parser("gc-tombstones", help="drop tombstones below an LSN")
     gct.add_argument("--table", required=True)
     gct.add_argument("--watermark", type=int, required=True)
+
+    ce = sub.add_parser(
+        "corpus-export",
+        help="training-corpus export: final state → PII scrub → assembled "
+             "documents → quality gate → parquet (the oracle-checked "
+             "corpus_export semantics, operable)",
+    )
+    ce.add_argument("--table", required=True)
+    ce.add_argument("--out", required=True, help="parquet dir for documents")
+    ce.add_argument("--no-redact", action="store_true")
+    ce.add_argument("--min-turns", type=int, default=2)
+    ce.add_argument("--max-turns", type=int, default=30)
+    ce.add_argument("--min-tokens", type=int, default=5)
+
+    rc = sub.add_parser(
+        "refresh-corpus",
+        help="incremental corpus refresh: re-assemble ONLY conversations "
+             "with a winner after --cursor (read_since-fed; O(touched "
+             "convs), never O(table))",
+    )
+    rc.add_argument("--table", required=True)
+    rc.add_argument("--out", required=True, help="parquet dir for documents")
+    rc.add_argument("--cursor", type=int, required=True)
 
     args = ap.parse_args(argv)
     spark = get_spark(app_name=f"acs-{args.cmd}")
@@ -546,6 +571,37 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         t_ = LakeTable.load(spark, args.table)
         v = t_.gc_tombstones(lsn_watermark=args.watermark)
         print(json.dumps({"version": v}))
+    elif args.cmd == "corpus-export":
+        from airbyte_custom_spark.functions.corpus import assemble_corpus
+
+        t_ = LakeTable.load(spark, args.table)
+        docs = assemble_corpus(
+            t_.read(),
+            redact=not args.no_redact,
+            min_turns=args.min_turns,
+            max_turns=args.max_turns,
+            min_tokens=args.min_tokens,
+        )
+        docs.write.mode("overwrite").parquet(args.out)
+        out = spark.read.parquet(args.out)
+        print(json.dumps({
+            "out": args.out,
+            "documents": out.count(),
+            "total_tokens": out.agg(F.sum("total_tokens")).first()[0],
+            "table_version": t_.version,
+        }))
+    elif args.cmd == "refresh-corpus":
+        from airbyte_custom_spark.functions.corpus import refresh_corpus
+
+        t_ = LakeTable.load(spark, args.table)
+        docs = refresh_corpus(t_, args.cursor)
+        docs.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "out": args.out,
+            "documents": spark.read.parquet(args.out).count(),
+            "cursor": args.cursor,
+            "table_version": t_.version,
+        }))
     if stop_session:
         spark.stop()
     return 0

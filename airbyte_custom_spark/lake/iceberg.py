@@ -238,10 +238,15 @@ class IcebergTable:
     # --------------------------------------------------- snapshot lifecycle
 
     def _current_snapshot_id(self) -> int:
+        # the CURRENT snapshot is the main branch ref, NOT the newest
+        # committed_at row: after rollback_to_snapshot the pointer is
+        # OLDER than the newest snapshot (rolled-past snapshots stay in
+        # .snapshots until expiry), so ordering by committed_at would pin
+        # the rolled-past head on a rollback-then-tag sequence
         row = (
             self.spark.sql(
-                f"SELECT snapshot_id FROM {self.ident}.snapshots "
-                "ORDER BY committed_at DESC LIMIT 1"
+                f"SELECT snapshot_id FROM {self.ident}.refs "
+                "WHERE name = 'main'"
             ).first()
         )
         if row is None:

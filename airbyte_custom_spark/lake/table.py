@@ -886,7 +886,9 @@ class LakeTable:
             df = df.select(*self.payload_columns)
         return df
 
-    def changes_since(self, version: int) -> DataFrame:
+    def changes_since(
+        self, version: int, broadcast_threshold_rows: int = 10_000_000
+    ) -> DataFrame:
         """CDC turned outward: the NET changes between snapshot ``version``
         and this table's loaded version, classified ``change_op`` ∈
         {'i','u','d'} — the Iceberg changelog-scan analog, what a
@@ -902,10 +904,18 @@ class LakeTable:
 
         Scale shape: the cursor is the old version's high `_lsn`, read
         from manifest rollups when available (zero I/O); candidates come
-        from ``read_since`` (file-skipped, O(changed data)); liveness at
-        the old version is a pk-pruned scan of the old snapshot
-        leftsemi-joined against the (small, broadcast) changed-key set,
-        then broadcast back — the big side never crosses an exchange."""
+        from ``read_since`` (file-skipped, O(changed data)) and are
+        persisted once so the two consumers below don't rescan.  The
+        changed-row count is BOUNDED FIRST from the same manifest rollups
+        (sum of rows over files with lsn_max > cursor — zero I/O): under
+        ``broadcast_threshold_rows`` the changed-key set broadcasts and
+        the big sides never cross an exchange (the frequent-sync path);
+        above it — a replica catching up across a wide version gap, where
+        a forced broadcast would OOM the driver — both joins fall back to
+        shuffled pk-joins, which is the right plan when "changed" is
+        itself big data.  Either way the old-version liveness scan is
+        pruned to the BUCKETS the kept files touch (same derivation as
+        ``lookup``) whenever the two versions share a bucket layout."""
         old = LakeTable.load(self.spark, self.path, version=version)
         highs = [
             e.get("lsn_max")
@@ -920,15 +930,50 @@ class LakeTable:
                 .first()[0]
                 or 0
             )
+        cursor = int(cursor)
         pk = self.primary_key
-        changed = self.read_since(int(cursor))
-        was_live = (
-            old.read()
-            .select(*pk)
-            .join(F.broadcast(changed.select(*pk)), on=pk, how="leftsemi")
-            .withColumn("_was_live", F.lit(True))
+
+        # manifest-only upper bound on |changed| + the buckets it lives in
+        kept = [
+            e
+            for e in self.live_files() + self.live_delta_files()
+            if e.get("lsn_max") is None or e["lsn_max"] > cursor
+        ]
+        stats_known = all(
+            e.get("lsn_max") is not None and e.get("rows") is not None
+            for e in kept
         )
-        out = changed.join(F.broadcast(was_live), on=pk, how="left")
+        est_changed = sum(int(e.get("rows") or 0) for e in kept)
+        small = stats_known and est_changed <= broadcast_threshold_rows
+        same_layout = old.snapshot["num_buckets"] == self.snapshot[
+            "num_buckets"
+        ] and list(old.snapshot["bucket_keys"]) == list(
+            self.snapshot["bucket_keys"]
+        )
+        touched = (
+            sorted({e["bucket"] for e in kept})
+            if same_layout and all(e.get("bucket") is not None for e in kept)
+            else None
+        )
+
+        changed = self.read_since(cursor).persist(StorageLevel.MEMORY_AND_DISK)
+        old_pk = old.read(buckets=touched).select(*pk)
+        if small:
+            was_live = (
+                old_pk.join(
+                    F.broadcast(changed.select(*pk)), on=pk, how="leftsemi"
+                ).withColumn("_was_live", F.lit(True))
+            )
+            out = changed.join(F.broadcast(was_live), on=pk, how="left")
+        else:
+            # sort-merge hints: arbitrary-size inputs with spill, never a
+            # planner-estimated broadcast of a set we KNOW is big (AQE may
+            # still downgrade to broadcast at runtime from ACTUAL sizes,
+            # which is safe — it respects the autoBroadcast threshold)
+            was_live = old_pk.join(
+                changed.select(*pk).hint("merge"), on=pk, how="leftsemi"
+            ).withColumn("_was_live", F.lit(True))
+            out = changed.join(was_live.hint("merge"), on=pk, how="left")
         live_before = F.coalesce(F.col("_was_live"), F.lit(False))
         return (
             out.withColumn(
@@ -992,6 +1037,18 @@ class LakeTable:
                 .first()[0]
                 or 0
             )
+        # floor at the cumulative ever-written watermark: gc_tombstones can
+        # physically drop the highest-LSN tombstones, and deriving the new
+        # LSN from surviving FILE stats alone would then re-issue
+        # already-consumed LSNs — read_since/changes_since consumers whose
+        # cursor passed that LSN would silently miss the new deletes.
+        # (applied_lsn_high is also folded in: it can exceed file highs
+        # when a merge's winners were later purged and GC'd.)
+        high = max(
+            int(high),
+            int(self.snapshot.get("lsn_high_ever") or 0),
+            int(self.applied_lsn_high_watermark() or 0),
+        )
         ev = (
             self.read()
             .filter(cond)
@@ -1027,9 +1084,23 @@ class LakeTable:
         self._swing_pointer(snapshot["version"])
 
     def _write_snapshot_file(self, snapshot: dict[str, Any]) -> None:
+        # exclusive create: the descriptor write IS the commit lock for
+        # metadata-only commits (rollback, WAP stage) that claim no
+        # data/v<N> dir — two writers racing the same version slot cannot
+        # both win, mirroring _write_data's os.makedirs claim.  Version
+        # numbers are never reused (abandon_staged deletes the file before
+        # the slot can be re-staged), so a collision is always a race.
         meta = os.path.join(self.path, _META_DIR)
-        with open(os.path.join(meta, f"snap-v{snapshot['version']}.json"), "w") as f:
-            json.dump(snapshot, f, indent=1)
+        path = os.path.join(meta, f"snap-v{snapshot['version']}.json")
+        try:
+            with open(path, "x") as f:
+                json.dump(snapshot, f, indent=1)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"snapshot descriptor snap-v{snapshot['version']}.json already "
+                "exists — another writer claimed this version slot; reload "
+                "and retry"
+            ) from None
 
     def _swing_pointer(self, version: int) -> None:
         meta = os.path.join(self.path, _META_DIR)
@@ -1103,6 +1174,20 @@ class LakeTable:
             ) from None
         out.write.mode("append").partitionBy("bucket").parquet(commit_dir)
         entries = self._manifest_entries(commit_dir, snap["current_schema_id"])
+        # fold the commit's file-level lsn highs into the cumulative
+        # ever-written watermark (zero extra I/O — the footer stats were
+        # just read).  DISTINCT from applied_lsn_high (which is the C7
+        # stale-offset guard and moves ONLY on merge lineage): lsn_high_ever
+        # survives every data commit — delete_where, compact, gc_tombstones,
+        # rebucket — so LSNs assigned from max(file_high, lsn_high_ever)
+        # are never reused even after gc physically drops the highest-LSN
+        # tombstones.
+        highs = [e["lsn_max"] for e in entries if e.get("lsn_max") is not None]
+        if highs:
+            prev = snap.get("lsn_high_ever")
+            snap["lsn_high_ever"] = max(
+                [*highs, prev] if prev is not None else highs
+            )
         return self._write_manifest(entries, version)
 
     def _manifest_entries(self, commit_dir: str, sid: int) -> list[dict[str, Any]]:
@@ -1325,10 +1410,17 @@ class LakeTable:
         snap["lineage"] = lineage
         highs = [p["max_lsn"] for p in lineage if p.get("max_lsn") is not None]
         if highs:
-            prev_high = self.snapshot.get("applied_lsn_high")
-            snap["applied_lsn_high"] = max(
-                [*highs, prev_high] if prev_high is not None else highs
-            )
+            # fold, never overwrite: _write_data may already have folded
+            # this commit's file-level highs into snap
+            prevs = [
+                v
+                for v in (
+                    self.snapshot.get("applied_lsn_high"),
+                    snap.get("applied_lsn_high"),
+                )
+                if v is not None
+            ]
+            snap["applied_lsn_high"] = max([*highs, *prevs])
 
     def merge(
         self,
@@ -1476,18 +1568,21 @@ class LakeTable:
         reference approximates with its per-stream T+D lock
         (`DefaultTyperDeduper.java:59-69`).
 
-        Conflicts surface in exactly two ways, both BEFORE this writer's
-        commit becomes visible: (a) ``ConcurrentCommitError`` — the fast
-        pre-check (``_next_snapshot``) or the pointer-swing check saw the
-        head move (a racing merge, rollback, evolve, or publish); (b) the
-        version-slot data-directory collision — ``data/v<N>`` is written
-        ``errorifexists``, so at most ONE writer can ever own a version's
-        data dir, making the dir write itself the commit lock for data
-        commits (the loser fails before its pointer moves).  Either way,
-        recovery is the same: reload the head snapshot and RE-RUN the
-        merge against it — a clean recompute, never a repair, because the
-        lsn-max reduce makes merge application order-independent (the
-        same property the replay tests assert).  The reloaded head's
+        Conflicts surface as ``ConcurrentCommitError``, always BEFORE this
+        writer's commit becomes visible: the fast pre-check
+        (``_next_snapshot``) or the pointer-swing check saw the head move
+        (a racing merge, rollback, evolve, or publish); the version-slot
+        data-directory claim — ``_write_data`` takes ``data/v<N>`` with an
+        atomic ``os.makedirs(exist_ok=False)`` BEFORE Spark writes, so at
+        most ONE writer ever owns a version's data dir (the loser's
+        ``FileExistsError`` is re-raised as ``ConcurrentCommitError``); and
+        the snapshot-descriptor claim — metadata-only commits create
+        ``snap-v<N>.json`` with exclusive ``open(..., 'x')``, same rule.
+        Recovery is the same everywhere: reload the head snapshot and
+        RE-RUN the merge against it — a clean recompute, never a repair,
+        because the lsn-max reduce makes merge application
+        order-independent (the same property the replay tests assert).
+        The reloaded head's
         applied-batch manifest is honored first, so if the racing writer
         already applied THIS (query_id, batch_id) the retry returns
         ``skipped`` instead of double-applying.
@@ -1500,8 +1595,6 @@ class LakeTable:
         writers must use distinct ``query_id``s — racing writers sharing
         one query_id with out-of-order batch ids would mark the lower ids
         applied when a higher id lands first."""
-        from pyspark.errors import AnalysisException
-
         last: Exception | None = None
         for attempt in range(retries + 1):
             if attempt:
@@ -1514,11 +1607,10 @@ class LakeTable:
                     events_df, batch_id=batch_id, query_id=query_id, **kwargs
                 )
             except ConcurrentCommitError as e:
-                last = e
-            except AnalysisException as e:
-                msg = str(e)
-                if "PATH_ALREADY_EXISTS" not in msg and "already exists" not in msg:
-                    raise
+                # the ONLY retryable signal: every commit race is funneled
+                # through ConcurrentCommitError by the mkdir/descriptor
+                # claims above — a generic "already exists" AnalysisException
+                # is a caller-owned-path problem and must propagate
                 last = e
         raise ConcurrentCommitError(
             f"gave up after {retries} retries: {last}"

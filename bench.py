@@ -635,7 +635,35 @@ def main() -> None:
             log("  smoke-scale run — BENCH.md/BENCH_HISTORY.json not updated")
         shutil.rmtree(seg2, ignore_errors=True)
 
-    print(json.dumps(result, ensure_ascii=False))
+    # the FINAL stdout line must stay compact and machine-readable — the
+    # driver tail-captures it (round 4's six-inline-reps line overran the
+    # capture and left the artifact of record unparsed).  Full per-rep
+    # detail (probes, per-level seconds) goes to the BENCH_REPS.json
+    # sidecar; the headline, the selected rep, and the gate booleans stay
+    # on the line, plus compact per-rep efficiency/calm vectors so the
+    # line alone still discloses every rep.
+    compact = {k: v for k, v in result.items() if k != "scaling"}
+    if "scaling" in result:
+        s = result["scaling"]
+        full_scale = sf >= 0.1 and s["events"] >= 16_000_000
+        if full_scale:  # smoke runs must not overwrite the evidence sidecar
+            with open(os.path.join(REPO, "BENCH_REPS.json"), "w") as f:
+                json.dump(
+                    {"sf": sf, "events": s["events"], "reps": s["reps"]},
+                    f,
+                    indent=1,
+                )
+        compact["scaling"] = {
+            k: v for k, v in s.items() if k != "reps"
+        }
+        compact["scaling"]["calm_all_reps"] = [x["calm"] for x in s["reps"]]
+        compact["scaling"]["reps_file"] = (
+            "BENCH_REPS.json" if full_scale else None
+        )
+        # top-level copies so the parsed artifact always carries the gate
+        compact["efficiency_n_to_4n"] = s["efficiency_n_to_4n"]
+        compact["gate_0.8"] = s["gate_0.8"]
+    print(json.dumps(compact, ensure_ascii=False))
 
 
 def _update_history(r: dict) -> list[dict]:

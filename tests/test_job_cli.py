@@ -183,3 +183,53 @@ def test_cli_delete_where_and_sync(spark, tmp_path, capsys):
     r = LakeTable.load(spark, rep).read()
     assert sorted(p.collect()) == sorted(r.collect())
     assert r.filter("role = 'tool'").count() == 0
+
+
+def test_cli_corpus_export_and_refresh(spark, tmp_path, capsys):
+    """The operable training-export path: `corpus-export` writes a parquet
+    dir whose contents equal the shared assemble_corpus transform (the
+    same function the oracle-checked corpus_export query certifies), and
+    `refresh-corpus` re-exports exactly the post-cursor conversations."""
+    from airbyte_custom_spark.functions.corpus import assemble_corpus, refresh_corpus
+
+    seg = str(tmp_path / "seg")
+    tbl = str(tmp_path / "tbl")
+    run(capsys, "gen", "--out", seg, "--events", "3000", "--chunks", "1")
+    run(capsys, "init", "--table", tbl, "--buckets", "4")
+    run(capsys, "tail", "--table", tbl, "--source", seg,
+        "--checkpoint", str(tmp_path / "ck"))
+
+    out = str(tmp_path / "corpus")
+    ce = run(capsys, "corpus-export", "--table", tbl, "--out", out)
+    assert ce["documents"] > 0
+    t = LakeTable.load(spark, tbl)
+    want = assemble_corpus(t.read())
+    got = spark.read.parquet(out)
+    assert sorted(got.columns) == sorted(want.columns)
+    cols = sorted(got.columns)
+    assert sorted(got.select(*cols).collect()) == sorted(
+        want.select(*cols).collect()
+    )
+    assert ce["documents"] == want.count()
+
+    # incremental refresh from a mid-stream cursor: only conversations
+    # with a post-cursor winner are re-exported
+    hi = t.read(include_meta=True).agg(F.max("_lsn")).first()[0]
+    cursor = int(hi) // 2
+    rout = str(tmp_path / "refresh")
+    rc = run(capsys, "refresh-corpus", "--table", tbl, "--out", rout,
+             "--cursor", str(cursor))
+    want_r = refresh_corpus(t, cursor)
+    got_r = spark.read.parquet(rout)
+    rcols = sorted(got_r.columns)
+    assert sorted(got_r.select(*rcols).collect()) == sorted(
+        want_r.select(*rcols).collect()
+    )
+    assert rc["documents"] == want_r.count()
+    # the refreshed set is exactly the touched conversations
+    touched = {
+        r[0] for r in t.read_since(cursor).select("conv_id").distinct().collect()
+    }
+    exported = {r["conv_id"] for r in got_r.select("conv_id").collect()}
+    live = {r[0] for r in t.read().select("conv_id").distinct().collect()}
+    assert exported == touched & live

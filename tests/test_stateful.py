@@ -200,3 +200,94 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_state_bound_under_load_with_eviction(spark, tmp_path):
+    """Load test for the one Python-in-the-loop streaming stage: many
+    single-conversation groups through the RocksDB provider, then idle-key
+    eviction — the property that bounds the state store at 100 TB (state
+    tracks LIVE conversations, not all-time ones).
+
+    Default 100k keys (~2 min on local[4]; the per-group Python overhead
+    of applyInPandasWithState dominates, measured ~850 groups/s/4 cores —
+    see SCALE.md §6b for the 10⁶-key measured run and the per-key state
+    bound).  Scale with SPARK_GRAFT_STATE_LOAD_KEYS."""
+    import glob
+    import os
+    import shutil
+
+    n_keys = int(os.environ.get("SPARK_GRAFT_STATE_LOAD_KEYS", "100000"))
+    src = str(tmp_path / "wal")
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+
+    def flat_segment(df, name):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        os.makedirs(src, exist_ok=True)
+        (part,) = glob.glob(stage + "/part-*.parquet")
+        shutil.move(part, os.path.join(src, f"{name}.parquet"))
+
+    def run_all_rows(n_rows, timeout_ms=15000, budget=900):
+        """Process until ALL n_rows are folded, then stop (armed timers
+        keep availableNow alive, so completion is counted, not awaited)."""
+        stream = spark.readStream.schema(CDC_EVENT_SCHEMA).parquet(src)
+        q = (
+            sequence_monitor(stream, idle_timeout_ms=timeout_ms)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = time.time() + budget
+        while time.time() < deadline:
+            done = sum(p["numInputRows"] for p in q.recentProgress)
+            if done >= n_rows:
+                break
+            time.sleep(1)
+        time.sleep(2)  # let the last commit land
+        q.stop()
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = change_events(
+            spark, 2 * n_keys, n_convs=n_keys, max_turns=4, p_delete=0.0
+        )
+        flat_segment(ev, "seg0")
+        out1 = run_all_rows(2 * n_keys)
+        keys1 = out1.select("conv_id").distinct().count()
+        # nearly every conversation materialized state (hash collisions in
+        # the generator make exact n_keys unattainable)
+        assert keys1 > 0.8 * n_keys
+        assert out1.filter("expired").count() == 0
+        time.sleep(16)  # past the timers
+        # one touched conversation; every other key's timer is past due
+        flat_segment(
+            ev.filter("conv_id = 'conv-0'").withColumn(
+                "lsn", F.col("lsn") + 2 * n_keys
+            ),
+            "seg1",
+        )
+        out2 = run_all_rows(1).exceptAll(out1)
+        expired = out2.filter("expired").select("conv_id").distinct().count()
+        # the state store shed (at least) the idle keys that emitted here —
+        # bounded state under churn.  availableNow restarts service past-due
+        # timers across that run's batches; require the bulk to have fired.
+        assert expired >= 0.5 * (keys1 - 1), (expired, keys1)
+        assert out2.filter("not expired").count() >= 1  # conv-0 advanced
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

