@@ -228,7 +228,10 @@ def test_state_bound_under_load_with_eviction(spark, tmp_path):
         (part,) = glob.glob(stage + "/part-*.parquet")
         shutil.move(part, os.path.join(src, f"{name}.parquet"))
 
-    def run_all_rows(n_rows, timeout_ms=15000, budget=900):
+    def run_all_rows(n_rows, timeout_ms=15000, budget=None):
+        if budget is None:
+            # ~850 groups/s/4 cores measured; generous 3× headroom
+            budget = max(900, (3 * n_keys) // 250)
         """Process until ALL n_rows are folded, then stop (armed timers
         keep availableNow alive, so completion is counted, not awaited)."""
         stream = spark.readStream.schema(CDC_EVENT_SCHEMA).parquet(src)
