@@ -672,7 +672,11 @@ def q_incremental_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB with a daily cursor this touches the recent commits plus the
     touched conversations' buckets — never the whole corpus.  The
     transform is the SHARED `functions/corpus.py::refresh_corpus` — the
-    same code the `job.py refresh-corpus` CLI ships."""
+    same code the `job.py refresh-corpus` CLI ships — which routes the
+    touched subset through `assemble_corpus` itself, so the refresh
+    applies the SAME PII scrub, quality gate, and output schema as the
+    base export (a refresh parquet unions cleanly with corpus-export
+    output)."""
     from airbyte_custom_spark.functions.corpus import refresh_corpus
 
     ev = events_from_table(spark, sf_dir)
@@ -689,7 +693,14 @@ def q_incremental_corpus_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refresh_corpus(t, cursor)
 
 
-_ORACLE_CORPUS_REFRESH = f"""
+def _oracle_corpus_refresh() -> str:
+    # mirrors _oracle_corpus_export exactly (same redaction chain, same
+    # gate, same output schema) restricted to the post-cursor-touched
+    # conversations — because refresh_corpus IS assemble_corpus over the
+    # touched subset
+    from airbyte_custom_spark.functions.text import redact_pii_sql
+
+    return f"""
 WITH ev0 AS ({DERIVATION_SQL}),
 ranked AS (
   SELECT ev0.*, row_number() OVER (
@@ -697,22 +708,31 @@ ranked AS (
   FROM ev0
 ),
 final AS (
-  SELECT conv_id, turn_idx, role, text, tool
+  SELECT conv_id, turn_idx, role, text
   FROM ranked WHERE rn = 1 AND op <> 'd'
 ),
 changed AS (
   SELECT DISTINCT conv_id FROM ev0
   WHERE lsn > (2 * (SELECT max(lsn) FROM ev0)) // 3
+),
+docs AS (
+  SELECT f.conv_id,
+         count(*) AS n_turns,
+         string_agg(concat_ws(': ', f.role, {redact_pii_sql('f.text')}),
+                    chr(10) ORDER BY f.turn_idx) AS document
+  FROM final f
+  JOIN changed c ON c.conv_id = f.conv_id
+  GROUP BY f.conv_id
+),
+scored AS (
+  SELECT conv_id, n_turns, document,
+         len(list_filter(regexp_split_to_array(document, '\\s+'),
+                         x -> x <> '')) AS total_tokens
+  FROM docs
 )
-SELECT
-  f.conv_id,
-  count(*) AS n_turns,
-  string_agg(concat_ws(': ', f.role, f.text), chr(10) ORDER BY f.turn_idx)
-    AS document,
-  max(CASE WHEN f.tool IS NOT NULL THEN 1 ELSE 0 END) AS uses_tools
-FROM final f
-JOIN changed c ON c.conv_id = f.conv_id
-GROUP BY f.conv_id
+SELECT conv_id, n_turns, total_tokens, document
+FROM scored
+WHERE n_turns BETWEEN 2 AND 30 AND total_tokens >= 5
 """
 
 
@@ -2251,7 +2271,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window_rollup": _ORACLE_SESSION_WINDOWS,
         "sft_pairs": _ORACLE_SFT_PAIRS,
         "corpus_export": _oracle_corpus_export(),
-        "incremental_corpus_refresh": _ORACLE_CORPUS_REFRESH,
+        "incremental_corpus_refresh": _oracle_corpus_refresh(),
         "conversation_token_budget": _ORACLE_TOKEN_BUDGET,
         "conversation_bpe_budget": _oracle_bpe_budget(),
         # assembled-conversation docs feed the SAME exhaustive all-pairs

@@ -60,31 +60,35 @@ def assemble_corpus(
     ).select("conv_id", "n_turns", "total_tokens", "document")
 
 
-def refresh_corpus(table, cursor: int) -> DataFrame:
+def refresh_corpus(
+    table,
+    cursor: int,
+    *,
+    redact: bool = True,
+    min_turns: int = 2,
+    max_turns: int = 30,
+    min_tokens: int = 5,
+) -> DataFrame:
     """Incremental (daily-export) refresh: re-assemble ONLY the
-    conversations with a post-``cursor`` winner.
+    conversations with a post-``cursor`` winner, through the SAME
+    ``assemble_corpus`` transform (and defaults) as the base export — same
+    PII scrub, same quality gate, same output schema — so refresh parquet
+    unions cleanly with the base export and a document is redacted/gated
+    identically whichever path produced it.
 
     ``read_since(cursor)`` yields the changed keys (file-skipped, O(changed
     data)); their DISTINCT conv_ids gate the full final state with a
     broadcast semi-join (bounded by touched conversations); the assembly
     aggregation then shuffles O(touched convs), never O(table).  A
     conversation whose only post-cursor change is a tombstone re-assembles
-    without the deleted turn — or drops out entirely when nothing is
-    left."""
+    without the deleted turn — or drops out entirely when nothing is left
+    (or when the re-assembled document no longer clears the gate)."""
     changed = table.read_since(int(cursor)).select("conv_id").distinct()
-    turns = F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text")))
-    return (
-        table.read()
-        .join(F.broadcast(changed), "conv_id", "leftsemi")
-        .groupBy("conv_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_turns"),
-            F.array_join(
-                F.transform(
-                    turns, lambda s: F.concat_ws(": ", s["role"], s["text"])
-                ),
-                "\n",
-            ).alias("document"),
-            F.max((F.col("tool").isNotNull()).cast("int")).alias("uses_tools"),
-        )
+    touched = table.read().join(F.broadcast(changed), "conv_id", "leftsemi")
+    return assemble_corpus(
+        touched,
+        redact=redact,
+        min_turns=min_turns,
+        max_turns=max_turns,
+        min_tokens=min_tokens,
     )

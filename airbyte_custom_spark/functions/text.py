@@ -62,13 +62,21 @@ BPE_MERGES: list[tuple[str, str]] = [
 
 
 def _bpe_word_token_count(word: Column) -> Column:
-    # char-split the word (symbols separated by spaces — words were split
-    # ON whitespace, so the separator cannot collide), run the merge
-    # chain, count surviving symbols
-    s = F.trim(F.regexp_replace(word, F.lit("(.)"), F.lit("$1 ")))
+    # serialize symbols GUARDED on both sides: each symbol as " x ", so
+    # adjacent symbols read " x  y " (two spaces between, one at each end).
+    # A merge rule then replaces the literal " a  b " with " ab " — the
+    # guards mean it can only match symbol a ADJACENT TO symbol b, never a
+    # suffix of a longer symbol (" at  o " does not contain " t  o ").
+    # Words were split ON whitespace, so the guard char cannot collide.
+    # One left-to-right non-overlapping replace pass per rule, rules in
+    # pinned order, equals priority-iterative BPE for THIS table because
+    # every composite-consuming rule appears after its producer
+    # (equivalence property-tested against a reference Python BPE encoder
+    # in tests/test_text_functions.py).
+    s = F.regexp_replace(word, F.lit("(.)"), F.lit(" $1 "))
     for a, b in BPE_MERGES:
-        s = F.replace(s, F.lit(f"{a} {b}"), F.lit(f"{a}{b}"))
-    return F.size(F.split(s, F.lit(" ")))
+        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return F.size(F.split(F.trim(s), F.lit("  ")))
 
 
 def bpe_vocab_token_count(col: Column | str) -> Column:
@@ -86,13 +94,13 @@ def bpe_vocab_token_count_sql(expr: str) -> str:
     """The DuckDB twin of :func:`bpe_vocab_token_count` — same merge
     table, same order, same left-to-right non-overlapping `replace`
     semantics."""
-    s = f"trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    s = "regexp_replace(w, '(.)', ' \\1 ', 'g')"
     for a, b in BPE_MERGES:
-        s = f"replace({s}, '{a} {b}', '{a}{b}')"
+        s = f"replace({s}, ' {a}  {b} ', ' {a}{b} ')"
     return (
         "CAST(coalesce(list_sum(list_transform("
         f"list_filter(regexp_split_to_array({expr}, '\\s+'), x -> x <> ''), "
-        f"w -> len(string_split({s}, ' ')))), 0) AS BIGINT)"
+        f"w -> len(string_split(trim({s}), '  ')))), 0) AS BIGINT)"
     )
 
 

@@ -287,6 +287,12 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     rc.add_argument("--table", required=True)
     rc.add_argument("--out", required=True, help="parquet dir for documents")
     rc.add_argument("--cursor", type=int, required=True)
+    # same scrub/gate knobs as corpus-export: refresh output must union
+    # cleanly with (and be gated identically to) the base export
+    rc.add_argument("--no-redact", action="store_true")
+    rc.add_argument("--min-turns", type=int, default=2)
+    rc.add_argument("--max-turns", type=int, default=30)
+    rc.add_argument("--min-tokens", type=int, default=5)
 
     args = ap.parse_args(argv)
     spark = get_spark(app_name=f"acs-{args.cmd}")
@@ -594,7 +600,14 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         from airbyte_custom_spark.functions.corpus import refresh_corpus
 
         t_ = LakeTable.load(spark, args.table)
-        docs = refresh_corpus(t_, args.cursor)
+        docs = refresh_corpus(
+            t_,
+            args.cursor,
+            redact=not args.no_redact,
+            min_turns=args.min_turns,
+            max_turns=args.max_turns,
+            min_tokens=args.min_tokens,
+        )
         docs.write.mode("overwrite").parquet(args.out)
         print(json.dumps({
             "out": args.out,

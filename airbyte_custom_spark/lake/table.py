@@ -342,6 +342,15 @@ class LakeTable:
         snap["operation"] = "rollback"
         snap["rollback_of"] = version
         snap["lineage"] = []
+        # lsn_high_ever is MONOTONIC across the whole table lifetime, not
+        # part of the restored state: the rolled-past commits' LSNs were
+        # already emitted to read_since/changes_since consumers, so a
+        # post-rollback delete_where must never mint them again.  Grafting
+        # the target's (older, lower) watermark verbatim would regress it.
+        prev = self.snapshot.get("lsn_high_ever")
+        if prev is not None:
+            tgt = snap.get("lsn_high_ever")
+            snap["lsn_high_ever"] = prev if tgt is None else max(prev, tgt)
         self._commit(snap)
         return snap["version"]
 
@@ -956,7 +965,16 @@ class LakeTable:
             else None
         )
 
+        # persist once (two consumers below); the handle is kept on the
+        # instance and the PREVIOUS call's cache is released here, so a
+        # long-running sync driver calling changes_since per cycle holds at
+        # most one cached changed-set at a time instead of leaking one per
+        # call until spark.stop()
+        prev = getattr(self, "_changes_cache", None)
+        if prev is not None:
+            prev.unpersist()
         changed = self.read_since(cursor).persist(StorageLevel.MEMORY_AND_DISK)
+        self._changes_cache = changed
         old_pk = old.read(buckets=touched).select(*pk)
         if small:
             was_live = (

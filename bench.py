@@ -640,8 +640,10 @@ def main() -> None:
             f"efficiency={eff:.3f} ({result['scaling']['selection']})")
         # artifacts of record only from full-scale runs — a smoke run at a
         # tiny SF or reduced scaling-event count must not overwrite the
-        # published evidence (BENCH.md + BENCH_HISTORY.json)
-        if sf >= 0.1 and sev >= 16_000_000:
+        # published evidence (BENCH.md + BENCH_HISTORY.json + BENCH_REPS;
+        # ONE flag guards all three writers so they cannot desynchronize)
+        result["full_scale"] = sf >= 0.1 and sev >= 16_000_000
+        if result["full_scale"]:
             _write_bench_md(result)
         else:
             log("  smoke-scale run — BENCH.md/BENCH_HISTORY.json not updated")
@@ -657,7 +659,7 @@ def main() -> None:
     compact = {k: v for k, v in result.items() if k != "scaling"}
     if "scaling" in result:
         s = result["scaling"]
-        full_scale = sf >= 0.1 and s["events"] >= 16_000_000
+        full_scale = result["full_scale"]
         if full_scale:  # smoke runs must not overwrite the evidence sidecar
             with open(os.path.join(REPO, "BENCH_REPS.json"), "w") as f:
                 json.dump(

@@ -39,20 +39,28 @@ def _duck(sf_dir):
 
 
 def _cell(v):
-    # No numeric coercion: repr keeps int-vs-float distinct (3 vs 3.0),
+    # No numeric coercion: the tag keeps int-vs-float distinct (3 vs 3.0),
     # which is the class of mismatch the driver's value hash catches.
-    if v is None:
+    # numpy scalars (np.int64 from toPandas(), np.float64, np.bool_) must
+    # hit the SAME branches as their Python twins — np.int64 is not a
+    # Python int, so plain isinstance checks would fall through to the
+    # repr branch and report spurious dtype mismatches against a DuckDB
+    # result surfaced as Python objects.
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NA or v is pd.NaT:
         return "\x00null"
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "\x00nan"
         # floats compare at driver-hash granularity; round only to absorb
         # non-associative float addition order, not dtype.
-        return f"f:{round(v, 6)}"
-    if isinstance(v, bool):
-        return f"b:{v}"
-    if isinstance(v, int):
-        return f"i:{v}"
+        return f"f:{round(float(v), 6)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
     return f"s:{v}"
 
 

@@ -153,6 +153,36 @@ def test_delete_where_lsn_monotonic_after_tombstone_gc(spark, tmp_path):
     )
 
 
+def test_delete_where_lsn_monotonic_after_rollback(spark, tmp_path):
+    """rollback grafts the target snapshot's content onto a new head — but
+    lsn_high_ever is table-lifetime-monotonic, NOT part of the restored
+    state: the rolled-past commits' LSNs were already emitted to
+    read_since/changes_since consumers, so a post-rollback delete_where
+    must not mint them again."""
+    t = _table(spark, tmp_path)
+    ev = change_events(spark, 2000, n_convs=30, seed=35)
+    hi = ev.agg(F.max("lsn")).first()[0]
+    v1 = t.merge(ev.filter(F.col("lsn") <= hi // 2), batch_id=0).version
+    t.merge(ev.filter(F.col("lsn") > hi // 2), batch_id=1)
+    head_high = (
+        t.read(include_deleted=True, include_meta=True)
+        .agg(F.max("_lsn"))
+        .first()[0]
+    )
+    cursor = int(head_high)  # a replica synced through the full head
+    t.rollback(version=v1)
+    assert (t.snapshot.get("lsn_high_ever") or 0) >= cursor, (
+        "rollback regressed lsn_high_ever to the target's older watermark"
+    )
+    r = t.delete_where("role = 'user'", batch_id=2)
+    assert not r.skipped
+    new_deletes = t.read_since(cursor).filter(F.col("_deleted"))
+    assert new_deletes.count() > 0, (
+        "post-rollback purge re-used an already-consumed LSN — invisible "
+        "to a caught-up consumer"
+    )
+
+
 def test_rollback_racing_staged_wap_raises_not_overwrites(spark, tmp_path):
     """Metadata-only commits go through the same version-slot lock as data
     commits: the snapshot descriptor is created exclusively, so a rollback

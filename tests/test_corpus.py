@@ -1,0 +1,60 @@
+"""functions/corpus.py: the shared export/refresh assembly — the refresh
+path MUST be the base export restricted to touched conversations (same PII
+scrub, same quality gate, same schema), because its output is unioned into
+the same training corpus the base export feeds."""
+
+from pyspark.sql import functions as F
+
+from airbyte_custom_spark.functions.corpus import assemble_corpus, refresh_corpus
+from airbyte_custom_spark.lake.table import LakeTable
+from airbyte_custom_spark.schema import TRANSCRIPT_SCHEMA
+from airbyte_custom_spark.sources.generator import change_events
+
+
+def _table(spark, tmp_path, name="t"):
+    return LakeTable.create(
+        spark, str(tmp_path / name), TRANSCRIPT_SCHEMA,
+        num_buckets=4, bucket_keys=("conv_id",),
+    )
+
+
+def test_refresh_redacts_gates_and_matches_export_schema(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    ev = change_events(spark, 2000, n_convs=30, seed=77)
+    hi = ev.agg(F.max("lsn")).first()[0]
+    # plant PII into the SECOND half so it arrives post-cursor
+    planted = ev.withColumn(
+        "text",
+        F.when(
+            F.col("lsn") > hi // 2,
+            F.concat(F.col("text"), F.lit(" reach me at leak@example.com")),
+        ).otherwise(F.col("text")),
+    )
+    t.merge(planted.filter(F.col("lsn") <= hi // 2), batch_id=0)
+    t.merge(planted.filter(F.col("lsn") > hi // 2), batch_id=1)
+    cursor = int(hi) // 2
+
+    base = assemble_corpus(t.read())
+    refreshed = refresh_corpus(t, cursor)
+
+    # identical schema → refresh parquet unions cleanly with the export
+    assert refreshed.schema == base.schema
+
+    rows = refreshed.collect()
+    assert rows, "fixture must touch at least one gated-in conversation"
+    # the planted email must never survive into refreshed documents
+    leaked = [r for r in rows if "leak@example.com" in r["document"]]
+    assert not leaked, leaked[:2]
+
+    # refresh == base export restricted to the touched conversations
+    touched = {
+        r[0] for r in t.read_since(cursor).select("conv_id").distinct().collect()
+    }
+    want = sorted(
+        base.filter(F.col("conv_id").isin(*touched)).collect()
+    )
+    assert sorted(rows) == want
+
+    # the gate is live on the refresh path: every emitted doc clears it
+    for r in rows:
+        assert 2 <= r["n_turns"] <= 30 and r["total_tokens"] >= 5

@@ -226,10 +226,21 @@ def test_cli_corpus_export_and_refresh(spark, tmp_path, capsys):
         want_r.select(*rcols).collect()
     )
     assert rc["documents"] == want_r.count()
-    # the refreshed set is exactly the touched conversations
+    # refresh output unions cleanly with the base export (same schema,
+    # same scrub+gate — refresh_corpus routes through assemble_corpus)
+    assert sorted(got_r.columns) == sorted(got.columns)
+    # the refreshed set is the touched conversations, minus any that no
+    # longer clear the quality gate
     touched = {
         r[0] for r in t.read_since(cursor).select("conv_id").distinct().collect()
     }
     exported = {r["conv_id"] for r in got_r.select("conv_id").collect()}
     live = {r[0] for r in t.read().select("conv_id").distinct().collect()}
-    assert exported == touched & live
+    assert exported <= touched & live
+    gated_out = (touched & live) - exported
+    if gated_out:
+        # every dropped conversation must actually fail the gate
+        regated = assemble_corpus(
+            t.read().filter(F.col("conv_id").isin(*gated_out))
+        )
+        assert regated.count() == 0

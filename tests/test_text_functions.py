@@ -166,16 +166,19 @@ def test_bpe_vocab_token_count_hand_cases_and_duckdb_twin(spark):
         bpe_vocab_token_count_sql,
     )
 
-    # hand-derived under BPE_MERGES priority order
+    # hand-derived under BPE_MERGES priority-iterative semantics
     cases = [
         ("the", 1),            # t h e -> th e -> the
         ("ther", 1),           # ... -> the r -> ther
         ("and", 1),            # a n d -> an d -> and
         ("ers", 1),            # e r s -> er s -> ers
         ("cat", 2),            # c at
+        ("cato", 3),           # c at o — (t,o) must NOT fire inside 'at'
+        ("ton", 2),            # t on — (o,n) outranks (t,o)
+        ("tomato", 4),         # to m at o
         ("the cat sat on the mat", 9),
         ("", 0),
-        ("  spaced   out  ", 3),   # sp a c ed | ou t -> 4+... recomputed below
+        ("  spaced   out  ", 7),   # s p a c ed (5) + ou t (2)
     ]
     df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
     got = [r[0] for r in df.select(bpe_vocab_token_count("s")).collect()]
@@ -187,5 +190,56 @@ def test_bpe_vocab_token_count_hand_cases_and_duckdb_twin(spark):
         for s, _ in cases
     ]
     assert got == want  # the oracle contract, every case
-    for (src, expect), out in zip(cases[:7], got[:7]):
+    for (src, expect), out in zip(cases, got):
         assert out == expect, (src, out, expect)
+
+
+def _reference_bpe_count(word: str) -> int:
+    """Priority-iterative BPE encode (Sennrich et al. 2016): repeatedly
+    merge all leftmost-nonoverlapping occurrences of the present pair with
+    the best (lowest) rank, until no rule applies."""
+    from airbyte_custom_spark.functions.text import BPE_MERGES
+
+    rank = {pair: i for i, pair in enumerate(BPE_MERGES)}
+    syms = list(word)
+    while len(syms) > 1:
+        pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+        best = min((rank[p] for p in pairs if p in rank), default=None)
+        if best is None:
+            break
+        a, b = BPE_MERGES[best]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def test_bpe_replace_chain_equals_reference_bpe(spark):
+    """The guarded literal-replace chain (one pass per rule, pinned order)
+    must equal the real priority-iterative BPE encoder on this merge
+    table — the property that makes 'exact subword token total' a true
+    claim, not an approximation.  Randomized words over the table's
+    alphabet plus adversarial boundary cases ('cato', 'ton', 'tomato'
+    would all diverge under an unguarded replace chain)."""
+    import random
+
+    from airbyte_custom_spark.functions.text import bpe_vocab_token_count
+
+    rng = random.Random(42)
+    alphabet = "theinorsadlcmgu"
+    words = ["cato", "ton", "tomato", "atat", "ttt", "lll", "thethe"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = [r[0] for r in df.select(bpe_vocab_token_count("s")).collect()]
+    want = [_reference_bpe_count(w) for w in words]
+    assert got == want, [
+        (w, g, e) for w, g, e in zip(words, got, want) if g != e
+    ][:10]
