@@ -113,10 +113,10 @@ def retype_from_raw(
         # deterministic (sorted), independent of arrival order; engine
         # meta column names are reserved (suffix past them, same rule as
         # the streaming path)
-        from airbyte_custom_spark.schema import META_COLUMNS
+        from airbyte_custom_spark.schema import RESERVED_COLUMNS
 
         norm = normalize_columns(sorted(keys))
-        reserved = set(META_COLUMNS) | set(events.columns)
+        reserved = set(RESERVED_COLUMNS) | set(events.columns)
         used = set(norm.values()) | reserved
         for rk in sorted(norm):
             if norm[rk] in reserved:

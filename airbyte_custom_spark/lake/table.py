@@ -93,11 +93,31 @@ from airbyte_custom_spark.operators.dedupe import validate_primary_keys
 # is_widening: recursive equal-or-widening rule, shared with the
 # schema-diff stage and the Iceberg branch (round 4: struct subfield adds /
 # array element widens evolve in place — see schema.py::is_widening)
+from airbyte_custom_spark.schema import META_COLUMNS, RESERVED_COLUMNS
 from airbyte_custom_spark.schema import is_widening as _is_widening
 from airbyte_custom_spark.schema import with_meta_columns
 
 _META_DIR = "_meta"
 _DATA_DIR = "data"
+
+# Column names the write/read machinery owns: the physical partition
+# column, the write salt, and the engine metadata columns.  A payload
+# column with one of these names would be silently destroyed by
+# _write_data (withColumn overwrites it, partitionBy strips it from the
+# files, and the leaf-path read yields NULLs) — reject at
+# schema-declaration time instead.  (The JSON-ingest P7 normalizers
+# suffix past these same names, so discovered schemas never hit this.)
+_RESERVED_COLUMNS = frozenset(RESERVED_COLUMNS)
+
+
+def _check_payload_names(payload: T.StructType) -> None:
+    bad = sorted(f.name for f in payload.fields if f.name in _RESERVED_COLUMNS)
+    if bad:
+        raise ValueError(
+            f"payload column name(s) {bad} are reserved by the engine "
+            f"(reserved: {sorted(_RESERVED_COLUMNS)}) — rename at the "
+            "source or via payload_key_map normalization"
+        )
 _VERSION_FILE = "VERSION"
 _TAGS_FILE = "TAGS.json"
 
@@ -198,6 +218,7 @@ class LakeTable:
         a bucket (not just buckets) and parquet row-group stats prune
         inside files.  Costs one in-memory sort per write task on the
         write path — off by default."""
+        _check_payload_names(payload_schema)
         os.makedirs(os.path.join(path, _META_DIR), exist_ok=False)
         physical = with_meta_columns(payload_schema)
         snapshot = {
@@ -433,6 +454,16 @@ class LakeTable:
         commit_dir = os.path.join(self.path, _DATA_DIR, f"v{version}")
         shutil.rmtree(commit_dir, ignore_errors=True)
         os.remove(snap_file)
+        # drop any tag pinned to the abandoned version: a dangling tag
+        # would make expire_snapshots (which retains tagged versions and
+        # then opens their descriptors) and load(tag=...) crash with a
+        # FileNotFoundError forever after
+        tags = self._read_tags(self.path)
+        dangling = [n for n, v in tags.items() if v == version]
+        if dangling:
+            for n in dangling:
+                del tags[n]
+            self._write_tags(tags)
         self._manifest_cache = {}
         return {"removed_files": removed_files, "removed_manifests": removed_manifests}
 
@@ -633,6 +664,26 @@ class LakeTable:
             "delta_rows": d_rows,
             "delta_bytes": d_bytes,
         }
+
+    def _max_live_lsn(self) -> int:
+        """Max ``_lsn`` across live rows (base + deltas), from manifest
+        file stats when every entry carries them (zero I/O), else one
+        column-pruned scan (pre-stats manifests).  Shared by
+        ``changes_since`` (the old-version cursor) and ``delete_where``
+        (the tombstone LSN base) so the stats-fold-else-scan logic cannot
+        fork."""
+        highs = [
+            e.get("lsn_max")
+            for e in self.live_files() + self.live_delta_files()
+        ]
+        if highs and all(h is not None for h in highs):
+            return int(max(highs))
+        return int(
+            self.read(include_deleted=True, include_meta=True)
+            .agg(F.max("_lsn"))
+            .first()[0]
+            or 0
+        )
 
     def applied_lsn_high_watermark(self) -> int | None:
         """Highest lsn ever applied, persisted cumulatively in the snapshot
@@ -926,20 +977,7 @@ class LakeTable:
         pruned to the BUCKETS the kept files touch (same derivation as
         ``lookup``) whenever the two versions share a bucket layout."""
         old = LakeTable.load(self.spark, self.path, version=version)
-        highs = [
-            e.get("lsn_max")
-            for e in old.live_files() + old.live_delta_files()
-        ]
-        if highs and all(h is not None for h in highs):
-            cursor = max(highs)
-        else:  # pre-stats manifests: one column-pruned scan
-            cursor = (
-                old.read(include_deleted=True, include_meta=True)
-                .agg(F.max("_lsn"))
-                .first()[0]
-                or 0
-            )
-        cursor = int(cursor)
+        cursor = old._max_live_lsn()
         pk = self.primary_key
 
         # manifest-only upper bound on |changed| + the buckets it lives in
@@ -1042,19 +1080,7 @@ class LakeTable:
         delete.  NULL-predicate rows don't match (SQL semantics) and stay
         live."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        highs = [
-            e.get("lsn_max")
-            for e in self.live_files() + self.live_delta_files()
-        ]
-        if highs and all(h is not None for h in highs):
-            high = max(highs)
-        else:  # pre-stats manifests: one column-pruned scan
-            high = (
-                self.read(include_deleted=True, include_meta=True)
-                .agg(F.max("_lsn"))
-                .first()[0]
-                or 0
-            )
+        high = self._max_live_lsn()
         # floor at the cumulative ever-written watermark: gc_tombstones can
         # physically drop the highest-LSN tombstones, and deriving the new
         # LSN from surviving FILE stats alone would then re-issue
@@ -1775,11 +1801,17 @@ class LakeTable:
         SchemaEvolutionError — handle those via soft_reset (T8).
         ``payload_key_map`` rides the same commit when the JSON ingest
         discovered new normalized source fields."""
+        _check_payload_names(new_payload)
         current = self.schema()
         cur_fields = {f.name: f for f in current.fields}
         new_physical = with_meta_columns(new_payload)
         for name, fld in cur_fields.items():
-            if name.startswith("_"):
+            # skip only the ENGINE's meta columns — a payload column may
+            # legitimately start with "_" (Mongo `_id`, digit-led names
+            # normalized to `_<digit>...`), and exempting those from the
+            # drop/narrow checks would let incompatible changes commit
+            # silently
+            if name in META_COLUMNS:
                 continue
             newf = next((f for f in new_physical.fields if f.name == name), None)
             if newf is None:
@@ -1805,6 +1837,7 @@ class LakeTable:
         """Incompatible change: rebuild the table under the new schema from
         current rows (incl. tombstones) — the T8 soft-reset analog
         (`BigQuerySqlGenerator.java:322-335`)."""
+        _check_payload_names(new_payload)
         rows = self.read(include_deleted=True, include_meta=True)
         for old, new in (rename_map or {}).items():
             rows = rows.withColumnRenamed(old, new)
@@ -1833,7 +1866,15 @@ class LakeTable:
         for ref in self.snapshot["manifests"]:
             for b, (n, _r, _s) in ref["by_bucket"].items():
                 by_bucket[int(b)] = by_bucket.get(int(b), 0) + n
-        to_rewrite = {b for b, n in by_bucket.items() if n > min_files_per_bucket}
+        # convergence: a rewrite lands files_per_bucket files per bucket,
+        # so the trigger must sit ABOVE fpb — otherwise a table created
+        # with files_per_bucket > min_files_per_bucket re-selects every
+        # bucket on every maintenance cycle and pays a full-table rewrite
+        # forever without reducing fragmentation
+        threshold = max(
+            min_files_per_bucket, int(self.snapshot.get("files_per_bucket", 1))
+        )
+        to_rewrite = {b for b, n in by_bucket.items() if n > threshold}
         if not to_rewrite:
             return None
         keep = [
@@ -1921,7 +1962,9 @@ class LakeTable:
             for n in os.listdir(meta)
             if n.startswith("snap-v") and n.endswith(".json")
         )
-        retained = set(versions[-retain_last:])
+        # retain_last=0 means "keep only the live pointer (+ tags)" — a
+        # plain versions[-0:] slice would silently retain EVERYTHING
+        retained = set(versions[-retain_last:]) if retain_last > 0 else set()
         retained.add(self.version)  # never expire the current pointer
         # tagged snapshots are pinned (Iceberg tag semantic): a release
         # or audit tag survives routine expiry until the tag is dropped
@@ -1989,7 +2032,21 @@ class LakeTable:
     def gc_tombstones(self, lsn_watermark: int) -> int:
         """Physically drop tombstones with _lsn < watermark (safe once every
         source partition has passed the watermark — no staler update can
-        arrive).  Rewrites only buckets that contain old tombstones."""
+        arrive).  Rewrites only buckets that contain old tombstones.
+
+        CONSUMER CONTRACT: the watermark must also trail every DOWNSTREAM
+        cursor — a ``read_since``/``changes_since`` replica whose cursor
+        has not passed a tombstone's LSN never sees that delete once the
+        tombstone is physically gone (the replica keeps the key live
+        forever).  Safe watermark = min(source-partition low watermark,
+        min over replica cursors).  The engine cannot know external
+        cursors, so this is the operator's precondition, same as Iceberg's
+        ``expire_snapshots`` vs incremental consumers.
+
+        Discovery cost: candidate files are pruned by manifest ``lsn_min``
+        stats first (a row with _lsn < watermark can only live in a file
+        whose lsn_min < watermark), so finding the affected buckets reads
+        O(files with old rows), not O(table)."""
         if self.delta_refs:
             # a base tombstone below the watermark may be the only thing
             # shadowing an even-older delta upsert for the same key —
@@ -1999,12 +2056,19 @@ class LakeTable:
                 "gc_tombstones with outstanding merge-on-read deltas could "
                 "resurrect deleted rows — run compact_deltas() first"
             )
-        all_rows = self.read(include_deleted=True, include_meta=True)
+        candidates = [
+            e
+            for e in self.live_files()
+            if e.get("lsn_min") is None or e["lsn_min"] < lsn_watermark
+        ]
+        if not candidates:
+            return self.version
+        cand_rows = self._read_files(candidates)
         affected = (
-            all_rows.filter(
+            cand_rows.filter(
                 F.col("_deleted") & (F.col("_lsn") < F.lit(lsn_watermark))
             )
-            .select(self.bucket_expr(all_rows).alias("b"))
+            .select(self.bucket_expr(cand_rows).alias("b"))
             .distinct()
             .collect()
         )

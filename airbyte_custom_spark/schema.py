@@ -86,6 +86,16 @@ JSON_CDC_EVENT_SCHEMA = T.StructType(
 # and tombstone flag our streaming merge needs (see lake/table.py).
 META_COLUMNS = ("_lsn", "_deleted", "_raw_id", "_extracted_at", "_meta")
 
+# Every column name the lake-table machinery owns: the logical meta columns
+# plus the physical layout columns the write path injects ("bucket" is the
+# partition column — a payload column of that name would be overwritten,
+# stripped by partitionBy, and read back as NULLs; "_wsalt" is the write
+# salt, dropped before writing).  Schema declaration rejects these
+# (lake/table.py::_check_payload_names); the P7 normalizers suffix past
+# them like any collision, so JSON-discovered source fields named e.g.
+# "bucket" land as "bucket_1" instead of crashing or corrupting.
+RESERVED_COLUMNS = ("bucket", "_wsalt", *META_COLUMNS)
+
 META_STRUCT = T.StructType([T.StructField("errors", T.ArrayType(T.StringType()), True)])
 
 

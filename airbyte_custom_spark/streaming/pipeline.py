@@ -743,16 +743,17 @@ def _resolve_and_evolve(
     # normalizes, suffixing past names already taken by columns or prior
     # mappings.  The mapping persists in the table snapshot, so suffix
     # assignment never depends on batch arrival order after the first.
-    from airbyte_custom_spark.schema import META_COLUMNS
+    from airbyte_custom_spark.schema import RESERVED_COLUMNS
 
     new_map_entries: dict[str, str] = {}
     claimed = set(key_map.values())  # columns owned by a mapped raw key
-    # reserved names: engine meta columns (a payload key literally named
-    # "_lsn"/"_meta"/… must not shadow the physical meta column) AND the
+    # reserved names: every engine-owned column (meta columns plus the
+    # physical "bucket"/"_wsalt" layout columns — a payload key literally
+    # named "bucket" would be clobbered by the bucketed write) AND the
     # CDC envelope columns of this batch ("lsn"/"op"/"source_partition"/…
     # would duplicate a column name inside the extraction select —
-    # AnalysisException crash-loop).  Both suffix like any collision.
-    taken = existing | claimed | set(META_COLUMNS) | set(events.columns)
+    # AnalysisException crash-loop).  All suffix like any collision.
+    taken = existing | claimed | set(RESERVED_COLUMNS) | set(events.columns)
     pending = sorted(k for k in keys if k not in key_map)
     rest: list[str] = []
     # pass 1 — identity claims: a raw key exactly matching an UNCLAIMED

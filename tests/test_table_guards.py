@@ -1,0 +1,118 @@
+"""Guards hardened after the round-5 core review: reserved payload names,
+underscore-payload schema evolution, compact convergence with
+files_per_bucket > 1, dangling tags after abandon_staged, and
+expire_snapshots(retain_last=0)."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from airbyte_custom_spark.lake.table import LakeTable, SchemaEvolutionError
+from airbyte_custom_spark.schema import TRANSCRIPT_SCHEMA
+
+from tests.util import ev, mk_events
+
+
+def _payload(*fields):
+    return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+
+def test_create_rejects_engine_reserved_payload_names(spark, tmp_path):
+    """A payload column named 'bucket' would be overwritten by the write
+    path, stripped by partitionBy, and read back as NULLs — silent data
+    loss.  Same for the write salt and the meta columns."""
+    for i, bad in enumerate(("bucket", "_wsalt", "_lsn", "_meta")):
+        schema = _payload(("conv_id", T.StringType()), (bad, T.LongType()))
+        with pytest.raises(ValueError, match="reserved"):
+            LakeTable.create(
+                spark, str(tmp_path / f"t{i}"), schema,
+                primary_key=("conv_id",), num_buckets=2,
+            )
+
+
+def test_evolve_rejects_reserved_and_checks_underscore_payload(spark, tmp_path):
+    """evolve_schema must (a) reject reserved names in the NEW payload and
+    (b) apply the drop/narrow checks to underscore-prefixed PAYLOAD
+    columns (e.g. Mongo `_id`) — only the engine meta columns are exempt."""
+    payload = _payload(("conv_id", T.StringType()), ("_id", T.LongType()))
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), payload,
+        primary_key=("conv_id",), num_buckets=2,
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        t.evolve_schema(_payload(
+            ("conv_id", T.StringType()), ("_id", T.LongType()),
+            ("bucket", T.StringType()),
+        ))
+    # dropping `_id` must raise, not commit silently
+    with pytest.raises(SchemaEvolutionError, match="_id"):
+        t.evolve_schema(_payload(("conv_id", T.StringType())))
+    # narrowing `_id` long -> int must raise too
+    with pytest.raises(SchemaEvolutionError, match="_id"):
+        t.evolve_schema(_payload(
+            ("conv_id", T.StringType()), ("_id", T.IntegerType()),
+        ))
+    # a genuine widening of `_id` still evolves
+    v = t.evolve_schema(_payload(
+        ("conv_id", T.StringType()), ("_id", T.DoubleType()),
+    ))
+    assert v == t.version
+
+
+def test_compact_converges_with_files_per_bucket(spark, tmp_path):
+    """compact()'s trigger must sit above the table's files_per_bucket:
+    a rewrite lands fpb files per bucket, so with fpb > min_files the old
+    `n > min_files` trigger re-selected every bucket on every call — a
+    full-table rewrite per maintenance cycle, forever."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        num_buckets=2, files_per_bucket=2,
+    )
+    rows = [ev(i + 1, "c", f"c{i % 8}", i // 8, text=f"t{i}") for i in range(64)]
+    # appends accrue files (a CoW merge rewrites its buckets whole)
+    for lo in range(0, 64, 16):
+        t.append(mk_events(spark, rows[lo:lo + 16]))
+    assert t.stats()["max_files_per_bucket"] > 2
+    v1 = t.compact()  # two appends' files per bucket → one folding rewrite
+    assert v1 is not None
+    v2 = t.compact()  # now at ≤ fpb files per bucket → MUST converge
+    assert v2 is None, "compact did not converge at files_per_bucket files"
+    assert t.read().count() == len(rows)
+
+
+def test_abandon_staged_drops_dangling_tag(spark, tmp_path):
+    """A tag pinned to a staged version must not outlive abandon_staged —
+    a dangling tag makes expire_snapshots (which retains tagged versions
+    and opens their descriptors) crash on every later run."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=2,
+    )
+    t.merge(mk_events(spark, [ev(1, "c", "a", 0, text="x")]), batch_id=0)
+    staged = t.merge(
+        mk_events(spark, [ev(2, "u", "a", 0, text="y")]),
+        batch_id=1, publish=False,
+    )
+    t.tag("audit", staged.version)
+    t.abandon_staged(staged.version)
+    assert "audit" not in t.tags()
+    # expire_snapshots runs clean afterwards
+    stats = t.expire_snapshots(retain_last=1)
+    assert stats["expired_snapshots"] >= 0
+    with pytest.raises(ValueError, match="unknown tag"):
+        LakeTable.load(spark, t.path, tag="audit")
+
+
+def test_expire_retain_last_zero_keeps_only_pointer(spark, tmp_path):
+    """retain_last=0 means 'keep only the live pointer (+tags)' — the old
+    versions[-0:] slice silently retained everything."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=2,
+    )
+    for i in range(3):
+        t.merge(
+            mk_events(spark, [ev(i + 1, "c", "a", i, text=f"t{i}")]),
+            batch_id=i,
+        )
+    stats = t.expire_snapshots(retain_last=0)
+    assert stats["expired_snapshots"] == 3  # v0..v2 gone, v3 (head) kept
+    assert [h["version"] for h in t.history()] == [t.version]
+    assert t.read().count() == 3
