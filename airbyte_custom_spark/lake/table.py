@@ -100,26 +100,43 @@ from airbyte_custom_spark.schema import with_meta_columns
 _META_DIR = "_meta"
 _DATA_DIR = "data"
 
-# Column names the write/read machinery owns: the physical partition
-# column, the write salt, and the engine metadata columns.  A payload
-# column with one of these names would be silently destroyed by
-# _write_data (withColumn overwrites it, partitionBy strips it from the
-# files, and the leaf-path read yields NULLs) — reject at
-# schema-declaration time instead.  (The JSON-ingest P7 normalizers
-# suffix past these same names, so discovered schemas never hit this.)
-_RESERVED_COLUMNS = frozenset(RESERVED_COLUMNS)
+_VERSION_FILE = "VERSION"
+_TAGS_FILE = "TAGS.json"
+
+# Reserved payload names (schema.RESERVED_COLUMNS): the physical layout
+# columns, the engine metadata columns, the operator scratch columns, and
+# the CDC envelope names.  A payload column with one of these names would
+# be silently destroyed mid-plan (withColumn overwrites it, partitionBy
+# strips it from the files, the leaf-path read yields NULLs) or make
+# post-join references ambiguous — reject at schema-declaration time
+# instead.  (The JSON-ingest P7 normalizers suffix past these same names,
+# so discovered schemas never hit this.)  Comparison is CASE-INSENSITIVE:
+# Spark column resolution is case-insensitive by default, so a payload
+# column "Bucket" collides with the injected "bucket" just the same.
+_RESERVED_CASEFOLD = frozenset(c.casefold() for c in RESERVED_COLUMNS)
 
 
-def _check_payload_names(payload: T.StructType) -> None:
-    bad = sorted(f.name for f in payload.fields if f.name in _RESERVED_COLUMNS)
+def _check_payload_names(
+    payload: T.StructType, allow: frozenset[str] | set[str] = frozenset()
+) -> None:
+    """``allow`` grandfathers names already present in the CURRENT payload:
+    evolve_schema must keep accepting a legacy table's pre-existing column
+    (dropping it raises SchemaEvolutionError, so rejecting it here would
+    wedge automated streaming evolution in a crash-loop) while still
+    rejecting NEWLY-ADDED reserved names."""
+    allowed = {n.casefold() for n in allow}
+    bad = sorted(
+        f.name
+        for f in payload.fields
+        if f.name.casefold() in _RESERVED_CASEFOLD
+        and f.name.casefold() not in allowed
+    )
     if bad:
         raise ValueError(
             f"payload column name(s) {bad} are reserved by the engine "
-            f"(reserved: {sorted(_RESERVED_COLUMNS)}) — rename at the "
-            "source or via payload_key_map normalization"
+            f"(reserved, case-insensitive: {sorted(RESERVED_COLUMNS)}) — "
+            "rename at the source or via payload_key_map normalization"
         )
-_VERSION_FILE = "VERSION"
-_TAGS_FILE = "TAGS.json"
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -190,6 +207,7 @@ class LakeTable:
         payload_key_map: dict[str, str] | None = None,
         write_mode: str = "cow",
         sort_within_buckets: bool = False,
+        allow_reserved: tuple[str, ...] = (),
     ) -> "LakeTable":
         """Create an empty table. Physical schema = payload + meta columns.
 
@@ -217,8 +235,13 @@ class LakeTable:
         key min/max ranges become tight, so ``lookup`` prunes FILES inside
         a bucket (not just buckets) and parquet row-group stats prune
         inside files.  Costs one in-memory sort per write task on the
-        write path — off by default."""
-        _check_payload_names(payload_schema)
+        write path — off by default.
+
+        ``allow_reserved`` exempts the named columns from the reserved-name
+        guard — for ENGINE-OWNED append-only envelope tables (the raw
+        table stores the CDC ``op`` verbatim); user tables should never
+        pass it."""
+        _check_payload_names(payload_schema, allow=set(allow_reserved))
         os.makedirs(os.path.join(path, _META_DIR), exist_ok=False)
         physical = with_meta_columns(payload_schema)
         snapshot = {
@@ -262,6 +285,17 @@ class LakeTable:
                     f"(have: {sorted(tags)})"
                 )
             version = tags[tag]
+            if not os.path.exists(
+                os.path.join(path, _META_DIR, f"snap-v{version}.json")
+            ):
+                # dangling tag (descriptor removed by an older build's
+                # abandon_staged ordering) — name the tag, don't surface a
+                # bare FileNotFoundError; expire_snapshots self-heals these
+                raise ValueError(
+                    f"tag {tag!r} points at version {version}, whose "
+                    "snapshot descriptor no longer exists (dangling tag — "
+                    "drop_tag() it or run expire_snapshots())"
+                )
         if version is None:
             with open(os.path.join(path, _META_DIR, _VERSION_FILE)) as f:
                 version = int(f.read().strip())
@@ -453,17 +487,20 @@ class LakeTable:
         # version number without a PATH_ALREADY_EXISTS collision
         commit_dir = os.path.join(self.path, _DATA_DIR, f"v{version}")
         shutil.rmtree(commit_dir, ignore_errors=True)
-        os.remove(snap_file)
-        # drop any tag pinned to the abandoned version: a dangling tag
-        # would make expire_snapshots (which retains tagged versions and
-        # then opens their descriptors) and load(tag=...) crash with a
-        # FileNotFoundError forever after
+        # drop any tag pinned to the abandoned version BEFORE removing the
+        # descriptor: a dangling tag would make expire_snapshots (which
+        # retains tagged versions and then opens their descriptors) and
+        # load(tag=...) fail forever after.  Ordering matters — a crash
+        # between the two steps must leave a tag-less descriptor (harmless,
+        # re-abandonable), never a descriptor-less tag (expire_snapshots
+        # additionally self-heals any tag left dangling by older builds).
         tags = self._read_tags(self.path)
         dangling = [n for n, v in tags.items() if v == version]
         if dangling:
             for n in dangling:
                 del tags[n]
             self._write_tags(tags)
+        os.remove(snap_file)
         self._manifest_cache = {}
         return {"removed_files": removed_files, "removed_manifests": removed_manifests}
 
@@ -1801,7 +1838,14 @@ class LakeTable:
         SchemaEvolutionError — handle those via soft_reset (T8).
         ``payload_key_map`` rides the same commit when the JSON ingest
         discovered new normalized source fields."""
-        _check_payload_names(new_payload)
+        # grandfather names already in the CURRENT payload: a legacy table
+        # created before a name became reserved must keep evolving (the
+        # drop check below forces the column to stay in new_payload, so
+        # rejecting it here would crash-loop the streaming evolve path);
+        # only NEWLY-ADDED reserved names are rejected
+        _check_payload_names(
+            new_payload, allow=set(self.snapshot.get("payload_columns", ()))
+        )
         current = self.schema()
         cur_fields = {f.name: f for f in current.fields}
         new_physical = with_meta_columns(new_payload)
@@ -1966,9 +2010,23 @@ class LakeTable:
         # plain versions[-0:] slice would silently retain EVERYTHING
         retained = set(versions[-retain_last:]) if retain_last > 0 else set()
         retained.add(self.version)  # never expire the current pointer
+        # versions ABOVE the head are staged write-audit-publish snapshots
+        # awaiting publish(): expiring one mid-audit would delete the
+        # staged batch's fresh data files out from under the auditor —
+        # staged snapshots are only ever removed via abandon_staged()
+        retained.update(v for v in versions if v > self.version)
         # tagged snapshots are pinned (Iceberg tag semantic): a release
-        # or audit tag survives routine expiry until the tag is dropped
-        retained.update(self._read_tags(self.path).values())
+        # or audit tag survives routine expiry until the tag is dropped.
+        # Self-heal tags left dangling by older builds (descriptor already
+        # gone): retaining one would crash the _snapshot() open below on
+        # every future expiry run, so prune it from TAGS.json instead.
+        tags = self._read_tags(self.path)
+        dangling = sorted(n for n, v in tags.items() if v not in versions)
+        if dangling:
+            for n in dangling:
+                del tags[n]
+            self._write_tags(tags)
+        retained.update(tags.values())
         expired = [v for v in versions if v not in retained]
 
         def _snapshot(v: int) -> dict[str, Any]:

@@ -86,15 +86,29 @@ JSON_CDC_EVENT_SCHEMA = T.StructType(
 # and tombstone flag our streaming merge needs (see lake/table.py).
 META_COLUMNS = ("_lsn", "_deleted", "_raw_id", "_extracted_at", "_meta")
 
+# Scratch columns the merge/dedupe/changelog operators inject mid-plan
+# (latest-per-key row_number, reduce group-key hash prefix / salt /
+# max_by struct, changes_since liveness flag) plus the CDC envelope
+# columns every merge source carries ("lsn"/"op" — delete_where also
+# OVERWRITES "op" with lit('d')).  A payload column with any of these
+# names would be silently replaced or make the post-join references
+# ambiguous, so they are reserved alongside the physical layout names.
+OPERATOR_COLUMNS = (
+    "lsn", "op", "_rn", "_acs_gk", "_salt", "_row", "_ord", "_was_live",
+)
+
 # Every column name the lake-table machinery owns: the logical meta columns
 # plus the physical layout columns the write path injects ("bucket" is the
 # partition column — a payload column of that name would be overwritten,
 # stripped by partitionBy, and read back as NULLs; "_wsalt" is the write
-# salt, dropped before writing).  Schema declaration rejects these
-# (lake/table.py::_check_payload_names); the P7 normalizers suffix past
-# them like any collision, so JSON-discovered source fields named e.g.
-# "bucket" land as "bucket_1" instead of crashing or corrupting.
-RESERVED_COLUMNS = ("bucket", "_wsalt", *META_COLUMNS)
+# salt, dropped before writing) plus the operator scratch/envelope names
+# above.  Schema declaration rejects these case-insensitively
+# (lake/table.py::_check_payload_names — Spark resolution is
+# case-insensitive by default, so "Bucket" collides with "bucket"); the
+# P7 normalizers suffix past them like any collision, so JSON-discovered
+# source fields named e.g. "bucket" land as "bucket_1" instead of
+# crashing or corrupting.
+RESERVED_COLUMNS = ("bucket", "_wsalt", *META_COLUMNS, *OPERATOR_COLUMNS)
 
 META_STRUCT = T.StructType([T.StructField("errors", T.ArrayType(T.StringType()), True)])
 

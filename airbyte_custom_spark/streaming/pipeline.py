@@ -532,6 +532,10 @@ class JsonCdcIngestJob(CdcIngestJob):
             env,
             primary_key=("source_partition",),
             num_buckets=self.raw_num_buckets,
+            # engine-owned envelope table: stores the CDC 'op' verbatim as
+            # a payload column (append-only — never merged/delete_where'd,
+            # so the reserved-name hazards don't apply)
+            allow_reserved=("op",),
         )
 
     def _transform_batch(

@@ -116,3 +116,98 @@ def test_expire_retain_last_zero_keeps_only_pointer(spark, tmp_path):
     assert stats["expired_snapshots"] == 3  # v0..v2 gone, v3 (head) kept
     assert [h["version"] for h in t.history()] == [t.version]
     assert t.read().count() == 3
+
+
+def test_reserved_names_checked_case_insensitively(spark, tmp_path):
+    """Spark column resolution is case-insensitive by default, so 'Bucket'
+    collides with the injected 'bucket' exactly like the lowercase name —
+    the guard must match casefolded, not exact."""
+    for i, bad in enumerate(("Bucket", "_LSN", "_Wsalt")):
+        schema = _payload(("conv_id", T.StringType()), (bad, T.LongType()))
+        with pytest.raises(ValueError, match="reserved"):
+            LakeTable.create(
+                spark, str(tmp_path / f"t{i}"), schema,
+                primary_key=("conv_id",), num_buckets=2,
+            )
+
+
+def test_operator_scratch_and_envelope_names_are_reserved(spark, tmp_path):
+    """The merge/dedupe/changelog operators inject scratch columns mid-plan
+    (_rn, _acs_gk, _salt, _row, _ord, _was_live) and every merge source
+    carries the lsn/op envelope (delete_where overwrites 'op' outright) —
+    a payload column with any of these names would be silently replaced or
+    made ambiguous, so creation rejects them like the layout names."""
+    for i, bad in enumerate(("_rn", "op", "lsn", "_was_live", "_acs_gk")):
+        schema = _payload(("conv_id", T.StringType()), (bad, T.StringType()))
+        with pytest.raises(ValueError, match="reserved"):
+            LakeTable.create(
+                spark, str(tmp_path / f"t{i}"), schema,
+                primary_key=("conv_id",), num_buckets=2,
+            )
+
+
+def test_evolve_grandfathers_preexisting_reserved_column(spark, tmp_path, monkeypatch):
+    """A legacy table created before a name became reserved must keep
+    evolving: the drop check forces the old column to stay in new_payload,
+    so rejecting it would wedge automated streaming evolution in a
+    crash-loop.  Only NEWLY-ADDED reserved names are rejected."""
+    import airbyte_custom_spark.lake.table as table_mod
+
+    legacy = _payload(("conv_id", T.StringType()), ("_rn", T.LongType()))
+    # simulate the pre-guard build that accepted the name
+    monkeypatch.setattr(table_mod, "_RESERVED_CASEFOLD", frozenset())
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), legacy,
+        primary_key=("conv_id",), num_buckets=2,
+    )
+    monkeypatch.undo()
+    # adding an unrelated column keeps working (grandfathered '_rn' stays)
+    v = t.evolve_schema(_payload(
+        ("conv_id", T.StringType()), ("_rn", T.LongType()),
+        ("note", T.StringType()),
+    ))
+    assert v == t.version
+    # but a NEW reserved name is still rejected
+    with pytest.raises(ValueError, match="reserved"):
+        t.evolve_schema(_payload(
+            ("conv_id", T.StringType()), ("_rn", T.LongType()),
+            ("note", T.StringType()), ("bucket", T.StringType()),
+        ))
+
+
+def test_expire_snapshots_retains_staged_wap_snapshot(spark, tmp_path):
+    """A staged (unpublished) snapshot lives ABOVE the head pointer; a
+    maintenance expire_snapshots racing the audit must not delete its
+    descriptor or fresh data files — staged snapshots are only removed
+    via abandon_staged()."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    for i in range(2):
+        t.merge(mk_events(spark, [ev(i + 1, "c", "a", i, text=f"t{i}")]), batch_id=i)
+    staged = t.merge(
+        mk_events(spark, [ev(9, "u", "a", 0, text="audited")]),
+        batch_id=2, publish=False,
+    )
+    t.expire_snapshots(retain_last=0)  # most aggressive setting
+    v = t.publish(staged.version)      # must still be publishable
+    assert v == staged.version
+    got = {r["turn_idx"]: r["text"] for r in t.read().collect()}
+    assert got[0] == "audited" and got[1] == "t1"
+
+
+def test_expire_snapshots_self_heals_dangling_tag(spark, tmp_path):
+    """A tag whose descriptor is gone (older-build crash window) must not
+    crash every future expiry run — expire prunes it from TAGS.json; and
+    load(tag=...) names the dangling tag instead of FileNotFoundError."""
+    import os
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    for i in range(3):
+        t.merge(mk_events(spark, [ev(i + 1, "c", "a", i, text=f"t{i}")]), batch_id=i)
+    t.tag("rel", 1)
+    os.remove(os.path.join(t.path, "_meta", "snap-v1.json"))  # simulate
+    with pytest.raises(ValueError, match="dangling"):
+        LakeTable.load(spark, t.path, tag="rel")
+    stats = t.expire_snapshots(retain_last=1)  # must not raise
+    assert stats["expired_snapshots"] >= 0
+    assert "rel" not in t.tags()
+    assert t.read().count() == 3
