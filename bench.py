@@ -793,6 +793,9 @@ observed in a 0.32-membw-probe window, 0.56 in a 0.90 one — the real
 antagonist is co-tenant LLC/DRAM interference with zero guest steal
 time, moving in 10-20 min windows).  Selection: {s.get('selection')}.
 All rep efficiencies: {s.get('efficiency_all_reps')}.
+Calm-bracketed reps (both probes ≥0.55 membw, ALU in band):
+{[x.get('calm') for x in s.get('reps', [])]} — full per-rep probe detail
+in `BENCH_REPS.json`.
 
 | parallelism | seconds | events/sec |
 |---|---|---|
