@@ -7,9 +7,9 @@ Scale shape: everything here is ONE conv_id-keyed aggregation plus
 map-side JVM work (regex redaction chain, in-group array_sort — never a
 global sort), so a 100-TB corpus export shuffles each row once.  The
 incremental refresh reads only the post-cursor commits (file-skipped
-``read_since``) and re-assembles only the touched conversations
-(broadcast semi-join against their DISTINCT conv_ids — bounded by the
-number of touched conversations, not rows).
+``read_since``) and re-assembles only the touched conversations (a
+semi-join against their DISTINCT conv_ids — broadcast when manifest
+rollups bound the changed set small, shuffled sort-merge otherwise).
 
 Reference anchor: the export/refresh composition mirrors the
 typing-deduping final-table contract (`DefaultTyperDeduper.java`) turned
@@ -68,6 +68,7 @@ def refresh_corpus(
     min_turns: int = 2,
     max_turns: int = 30,
     min_tokens: int = 5,
+    broadcast_threshold_rows: int = 10_000_000,
 ) -> DataFrame:
     """Incremental (daily-export) refresh: re-assemble ONLY the
     conversations with a post-``cursor`` winner, through the SAME
@@ -78,13 +79,40 @@ def refresh_corpus(
 
     ``read_since(cursor)`` yields the changed keys (file-skipped, O(changed
     data)); their DISTINCT conv_ids gate the full final state with a
-    broadcast semi-join (bounded by touched conversations); the assembly
-    aggregation then shuffles O(touched convs), never O(table).  A
-    conversation whose only post-cursor change is a tombstone re-assembles
-    without the deleted turn — or drops out entirely when nothing is left
-    (or when the re-assembled document no longer clears the gate)."""
-    changed = table.read_since(int(cursor)).select("conv_id").distinct()
-    touched = table.read().join(F.broadcast(changed), "conv_id", "leftsemi")
+    semi-join; the assembly aggregation then shuffles O(touched convs),
+    never O(table).  A conversation whose only post-cursor change is a
+    tombstone re-assembles without the deleted turn — or drops out
+    entirely when nothing is left (or when the re-assembled document no
+    longer clears the gate).
+
+    Join strategy mirrors ``LakeTable.changes_since``: the changed-row
+    count is bounded FIRST from manifest rollups (rows over files with
+    lsn_max past the cursor — zero I/O).  Under
+    ``broadcast_threshold_rows`` the conv_id set broadcasts (the daily
+    frequent-refresh path); above it — a refresh catching up across a
+    wide gap, where a forced broadcast would OOM the driver — it falls
+    back to a shuffled sort-merge semi-join, the right plan when
+    "changed" is itself big data."""
+    cursor = int(cursor)
+    changed = table.read_since(cursor).select("conv_id").distinct()
+    kept = [
+        e
+        for e in table.live_files() + table.live_delta_files()
+        if e.get("lsn_max") is None or e["lsn_max"] > cursor
+    ]
+    stats_known = all(
+        e.get("lsn_max") is not None and e.get("rows") is not None
+        for e in kept
+    )
+    est_changed = sum(int(e.get("rows") or 0) for e in kept)
+    if stats_known and est_changed <= broadcast_threshold_rows:
+        touched = table.read().join(
+            F.broadcast(changed), "conv_id", "leftsemi"
+        )
+    else:
+        touched = table.read().join(
+            changed.hint("merge"), "conv_id", "leftsemi"
+        )
     return assemble_corpus(
         touched,
         redact=redact,

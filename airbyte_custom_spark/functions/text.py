@@ -85,8 +85,14 @@ def bpe_vocab_token_count(col: Column | str) -> Column:
     text.  Pure JVM (higher-order transform + literal replaces) — a real
     subword budget, scale-linear map work."""
     per_word = F.transform(tokens(col), _bpe_word_token_count)
-    return F.aggregate(
-        per_word, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    # NULL text counts as 0 tokens, matching the DuckDB twin's
+    # coalesce(list_sum(...), 0) — without this a NULL-text row yields a
+    # NULL that poisons any SUM over it while the oracle sums 0
+    return F.coalesce(
+        F.aggregate(
+            per_word, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ),
+        F.lit(0).cast("long"),
     )
 
 

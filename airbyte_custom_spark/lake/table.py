@@ -1881,7 +1881,14 @@ class LakeTable:
         """Incompatible change: rebuild the table under the new schema from
         current rows (incl. tombstones) — the T8 soft-reset analog
         (`BigQuerySqlGenerator.java:322-335`)."""
-        _check_payload_names(new_payload)
+        # grandfather names already in the CURRENT payload, same rule as
+        # evolve_schema: soft_reset is the documented recovery path, so a
+        # legacy table carrying a now-reserved name (or an allow_reserved
+        # envelope table) must be able to rebuild KEEPING that column —
+        # only newly-added reserved names are rejected
+        _check_payload_names(
+            new_payload, allow=set(self.snapshot["payload_columns"])
+        )
         rows = self.read(include_deleted=True, include_meta=True)
         for old, new in (rename_map or {}).items():
             rows = rows.withColumnRenamed(old, new)
@@ -2020,11 +2027,26 @@ class LakeTable:
         # Self-heal tags left dangling by older builds (descriptor already
         # gone): retaining one would crash the _snapshot() open below on
         # every future expiry run, so prune it from TAGS.json instead.
+        # "dangling" is judged against the DESCRIPTOR ON DISK at this
+        # moment, never against the `versions` listing taken at function
+        # start — a concurrent commit+tag landing after that listing would
+        # otherwise be misjudged dangling and silently unpinned (and later
+        # physically expired).  The prune also RE-READS TAGS.json just
+        # before writing and removes only the still-dangling names, so a
+        # tag() written since the first read is never clobbered by a
+        # stale map.
+        def _desc_exists(v: int) -> bool:
+            return os.path.exists(os.path.join(meta, f"snap-v{v}.json"))
+
         tags = self._read_tags(self.path)
-        dangling = sorted(n for n, v in tags.items() if v not in versions)
+        dangling = {n for n, v in tags.items() if not _desc_exists(v)}
         if dangling:
-            for n in dangling:
-                del tags[n]
+            tags = self._read_tags(self.path)
+            tags = {
+                n: v
+                for n, v in tags.items()
+                if n not in dangling or _desc_exists(v)
+            }
             self._write_tags(tags)
         retained.update(tags.values())
         expired = [v for v in versions if v not in retained]

@@ -37,6 +37,7 @@ import json
 import multiprocessing
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -694,7 +695,7 @@ def main() -> None:
                 "runs": len(effs),
                 "gate_passes": sum(e >= 0.8 for e in effs),
                 "best_efficiency": max(effs),
-                "median_efficiency": round(sorted(effs)[len(effs) // 2], 3),
+                "median_efficiency": round(statistics.median(effs), 3),
                 "file": "BENCH_HISTORY.json",
             }
     print(json.dumps(compact, ensure_ascii=False))

@@ -22,7 +22,7 @@ print(hw['alu'], hw['membw'])")
   fi
   if [ "$streak" -ge 2 ]; then
     echo "calm window confirmed — launching bench"
-    python bench.py
+    python3 bench.py
     exit $?
   fi
   sleep 240

@@ -58,3 +58,26 @@ def test_refresh_redacts_gates_and_matches_export_schema(spark, tmp_path):
     # the gate is live on the refresh path: every emitted doc clears it
     for r in rows:
         assert 2 <= r["n_turns"] <= 30 and r["total_tokens"] >= 5
+
+
+def test_refresh_wide_gap_falls_back_to_shuffled_semi_join(spark, tmp_path):
+    """Same strategy gate as LakeTable.changes_since: under the threshold
+    the conv_id set broadcasts; above it (a catch-up across a wide gap,
+    where a forced broadcast OOMs the driver) the semi-join falls back to
+    shuffled sort-merge — value-identically."""
+    from airbyte_custom_spark.plans.inspect import explain_str
+
+    t = _table(spark, tmp_path)
+    ev = change_events(spark, 2000, n_convs=30, seed=78)
+    hi = int(ev.agg(F.max("lsn")).first()[0])
+    t.merge(ev.filter(F.col("lsn") <= hi // 2), batch_id=0)
+    t.merge(ev.filter(F.col("lsn") > hi // 2), batch_id=1)
+    cursor = hi // 2
+
+    broad = refresh_corpus(t, cursor)
+    wide = refresh_corpus(t, cursor, broadcast_threshold_rows=0)
+    assert "BroadcastExchange" in explain_str(broad, "simple")
+    plan = explain_str(wide, "simple")
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert sorted(broad.collect()) == sorted(wide.collect())

@@ -211,3 +211,68 @@ def test_expire_snapshots_self_heals_dangling_tag(spark, tmp_path):
     assert stats["expired_snapshots"] >= 0
     assert "rel" not in t.tags()
     assert t.read().count() == 3
+
+
+def test_expire_keeps_tag_whose_descriptor_exists_despite_stale_listing(
+    spark, tmp_path, monkeypatch
+):
+    """Race guard: a tag is judged dangling by DESCRIPTOR EXISTENCE at
+    prune time, never by membership in the version listing taken at
+    function start — a commit+tag landing between the two must not be
+    unpinned (the next expiry run would physically delete the snapshot
+    the tag was supposed to pin)."""
+    import os as _os
+
+    import airbyte_custom_spark.lake.table as table_mod
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, num_buckets=2)
+    for i in range(3):
+        t.merge(mk_events(spark, [ev(i + 1, "c", "a", i, text=f"t{i}")]), batch_id=i)
+    t.tag("rel", t.version)
+    newest = f"snap-v{t.version}.json"
+    real_listdir = _os.listdir
+
+    def stale_listdir(p):
+        out = real_listdir(p)
+        if str(p).endswith("_meta"):
+            # simulate the newest snapshot landing AFTER the listing
+            return [n for n in out if n != newest]
+        return out
+
+    monkeypatch.setattr(table_mod.os, "listdir", stale_listdir)
+    t.expire_snapshots(retain_last=1)
+    monkeypatch.undo()
+    assert "rel" in t.tags(), "tag with live descriptor must never be pruned"
+    # and the pin holds through a later, un-raced aggressive expiry
+    t.expire_snapshots(retain_last=0)
+    assert LakeTable.load(spark, t.path, tag="rel").read().count() == 3
+
+
+def test_soft_reset_grandfathers_preexisting_reserved_column(
+    spark, tmp_path, monkeypatch
+):
+    """soft_reset is the documented recovery path, so it applies the same
+    grandfathering as evolve_schema: a legacy payload column whose name
+    is reserved today may be KEPT through the rebuild; only newly-added
+    reserved names are rejected."""
+    import airbyte_custom_spark.lake.table as table_mod
+
+    legacy = _payload(("conv_id", T.StringType()), ("_rn", T.LongType()))
+    monkeypatch.setattr(table_mod, "_RESERVED_CASEFOLD", frozenset())
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), legacy,
+        primary_key=("conv_id",), num_buckets=2,
+    )
+    monkeypatch.undo()
+    # rebuild keeping the grandfathered column (plus a widened one)
+    v = t.soft_reset(_payload(
+        ("conv_id", T.StringType()), ("_rn", T.LongType()),
+        ("note", T.StringType()),
+    ))
+    assert v == t.version
+    # but a NEW reserved name is still rejected before any work
+    with pytest.raises(ValueError, match="reserved"):
+        t.soft_reset(_payload(
+            ("conv_id", T.StringType()), ("_rn", T.LongType()),
+            ("bucket", T.StringType()),
+        ))

@@ -243,3 +243,32 @@ def test_bpe_replace_chain_equals_reference_bpe(spark):
     assert got == want, [
         (w, g, e) for w, g, e in zip(words, got, want) if g != e
     ][:10]
+
+
+def test_bpe_vocab_token_count_null_text_is_zero_like_the_oracle(spark):
+    """NULL text counts 0 tokens on BOTH sides of the oracle contract —
+    without the coalesce, Spark's aggregate over a NULL array yields NULL
+    and poisons any SUM above it while DuckDB's twin sums 0."""
+    import duckdb
+
+    from airbyte_custom_spark.functions.text import (
+        bpe_vocab_token_count,
+        bpe_vocab_token_count_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", "the cat")], "id string, s string"
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", bpe_vocab_token_count("s").alias("n")).collect()
+    }
+    con = duckdb.connect()
+    want_null = con.execute(
+        f"SELECT {bpe_vocab_token_count_sql('s')} FROM (SELECT NULL::VARCHAR AS s)"
+    ).fetchone()[0]
+    assert got["a"] == want_null == 0
+    assert got["b"] == 3  # the + c at
+    # and a SUM over a group containing the NULL row stays exact
+    total = df.agg(F.sum(bpe_vocab_token_count("s")).alias("t")).first()["t"]
+    assert total == 3
