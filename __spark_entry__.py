@@ -1690,6 +1690,63 @@ def q_doc_lang_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals (top-2-gram
+    occupancy + duplicated-3-gram character coverage) — the MassiveWeb
+    repetition filters a pre-training pipeline runs before quality
+    scoring.  Entirely map-side (one sorted-array fold per document, see
+    ``functions.text.repetition_stats``): no shuffle, no Python — a pure
+    map stage over a 100 TB corpus.  Integer numerators/denominator so
+    the oracle comparison is exact (fraction = numerator / n_chars,
+    computed by the consumer)."""
+    from airbyte_custom_spark.functions.text import repetition_stats
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    r2 = repetition_stats("text", 2)
+    r3 = repetition_stats("text", 3)
+    return d.select(
+        "doc_id",
+        r2["top_count"].alias("top2_count"),
+        r2["top_gram"].alias("top2_gram"),
+        (r2["top_count"] * F.length(r2["top_gram"]).cast("long")).alias(
+            "top2_chars"
+        ),
+        r3["dup_chars"].alias("dup3_chars"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+# Decontamination parameters: docs whose id ≡ BENCH_REM (mod BENCH_MOD)
+# stand in for the held-out benchmark set; overlap is word 3-grams (the
+# real-world filter uses 13-grams — k=3 here because the synthetic vocab
+# is ~30 words, giving k=3 the collision density 13-grams have on web text)
+_DECON_MOD, _DECON_REM, _DECON_K = 97, 3, 3
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with a held-out benchmark set (the n-gram-overlap filter of
+    GPT-3 appendix C / PaLM §6 — standard pre-training hygiene).  The
+    benchmark gram set is SMALL by construction (benchmarks are a few
+    thousand documents even when the corpus is 100 TB), so the join is a
+    broadcast hash join against the distinct benchmark grams — candidate
+    grams stream map-side through the broadcast, and the only shuffle is
+    the per-doc hit count over matched rows (a vanishingly small subset).
+    Returns (doc_id, n_contaminated_grams) for contaminated docs."""
+    from airbyte_custom_spark.functions.text import positional_ngrams
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    grams = F.array_distinct(positional_ngrams("text", _DECON_K))
+    is_bench = F.col("doc_id") % _DECON_MOD == F.lit(_DECON_REM)
+    bench = d.filter(is_bench).select(F.explode(grams).alias("g")).distinct()
+    cand = d.filter(~is_bench).select("doc_id", F.explode(grams).alias("g"))
+    return (
+        cand.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated_grams"))
+    )
+
+
 def q_doc_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic + composite quality score.  Quality is emitted
     ×1000 as an integer so the oracle comparison is float-representation-
@@ -2105,16 +2162,22 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "name_normalization": q_name_normalization,
         "validate_pk_counts": q_validate_pk_counts,
-        "raw_table_envelope": q_raw_table_envelope,
         # --- training-data pipeline ops ---
         "doc_text_stats": q_doc_text_stats,
         "profile_columns": q_profile_columns,
-        "doc_lang_hits": q_doc_lang_hits,
+        "doc_repetition": q_doc_repetition,
+        "decontaminate": q_decontaminate,
         "doc_quality_lang": q_doc_quality_lang,
         "doc_fingerprints": q_doc_fingerprints,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # ---- slot 51+ below: rotated out this round (see policy note) ----
+        # doc_lang_hits: its outputs are the exact inputs doc_quality_lang
+        # (slot ≤50) re-derives; raw_table_envelope: projection of the same
+        # raw table raw_table_dedup (slot ≤50) checks — both have r01–r04
+        # driver passes and stay mirror-checked.
+        "doc_lang_hits": q_doc_lang_hits,
+        "raw_table_envelope": q_raw_table_envelope,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "json_raw_retype_final_state": q_json_raw_retype_final_state,
@@ -2438,6 +2501,76 @@ GROUP BY conv_id
                    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
                        AS BIGINT) AS n_punct
             FROM documents
+        """,
+        "doc_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), g2 AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(t) >= 2 THEN
+                       list_transform(generate_series(1, len(t) - 1),
+                         i -> list_aggregate(t[i:i+1], 'string_agg', ' '))
+                     ELSE [] END) AS g
+              FROM toks
+            ), c2 AS (
+              SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+              FROM g2 GROUP BY doc_id, g
+            ), top2 AS (
+              SELECT doc_id, g, cnt FROM (
+                SELECT doc_id, g, cnt,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, g ASC) AS rn
+                FROM c2
+              ) WHERE rn = 1
+            ), g3 AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(t) >= 3 THEN
+                       list_transform(generate_series(1, len(t) - 2),
+                         i -> list_aggregate(t[i:i+2], 'string_agg', ' '))
+                     ELSE [] END) AS g
+              FROM toks
+            ), c3 AS (
+              SELECT doc_id, g, count(*) AS cnt
+              FROM g3 GROUP BY doc_id, g
+            ), d3 AS (
+              SELECT doc_id, CAST(sum(cnt * length(g)) AS BIGINT) AS dup3_chars
+              FROM c3 WHERE cnt >= 2 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(top2.cnt, 0) AS top2_count,
+                   COALESCE(top2.g, '') AS top2_gram,
+                   CAST(COALESCE(top2.cnt * length(top2.g), 0) AS BIGINT)
+                       AS top2_chars,
+                   COALESCE(d3.dup3_chars, 0) AS dup3_chars,
+                   CAST(length(d.text) AS BIGINT) AS n_chars
+            FROM documents d
+            LEFT JOIN top2 USING (doc_id)
+            LEFT JOIN d3 USING (doc_id)
+        """,
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(t) >= 3 THEN
+                       list_transform(generate_series(1, len(t) - 2),
+                         i -> list_aggregate(t[i:i+2], 'string_agg', ' '))
+                     ELSE [] END) AS gs
+              FROM toks
+            ), bench AS (
+              SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 3
+            ), cand AS (
+              SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 97 <> 3
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+            FROM cand JOIN bench USING (g)
+            GROUP BY doc_id
         """,
         "doc_lang_hits": r"""
             SELECT doc_id,

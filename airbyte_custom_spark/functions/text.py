@@ -283,3 +283,83 @@ def redact_pii_sql(expr: str) -> str:
         sql_pat = pat.replace("'", "''")
         out = f"regexp_replace({out}, '{sql_pat}', '{repl}', 'g')"
     return out
+
+
+def positional_ngrams(col: Column | str, n: int) -> Column:
+    """Positional word n-grams (ordered, duplicates kept), EMPTY when the
+    document has fewer than ``n`` tokens — unlike ``word_shingle_seq``,
+    which falls back to the whole text as one shingle (right for
+    fingerprint coverage, wrong for repetition statistics where a
+    sub-n-gram document simply has no n-grams)."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(col: Column | str, n: int) -> Column:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 — the repetition filters of the
+    MassiveWeb pipeline) over positional word ``n``-grams, as a struct:
+
+    - ``top_count``  — occurrences of the most frequent n-gram
+      (ties broken to the lexicographically smallest gram);
+    - ``top_gram``   — that n-gram ('' when the doc has no n-grams);
+    - ``dup_chars``  — total characters covered by n-grams occurring
+      more than once (sum of count × gram length over duplicated grams),
+      the numerator of the "fraction of characters in duplicated
+      n-grams" signal (denominator: ``length(text)``).
+
+    Computed entirely map-side with JVM array expressions: sort the
+    per-document gram array, then a single ``aggregate`` fold tracks the
+    current run, the best run, and the duplicated-character total —
+    O(g log g) per document, ZERO shuffle, no Python.  At 100 TB this is
+    a pure map stage over the corpus; the alternative
+    explode → groupBy(doc, gram) formulation shuffles every gram of
+    every document and is strictly worse.  Integer outputs by design so
+    the DuckDB oracle can match bit-for-bit (the r04 lesson: fractions
+    invite dtype drift; numerator/denominator pairs don't)."""
+    grams = F.array_sort(positional_ngrams(col, n))
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best_cnt"),
+        F.lit("").alias("best_gram"),
+        zero.alias("dup_chars"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        same = acc["prev"] == g
+        new_run = F.when(same, acc["run"] + F.lit(1).cast("long")).otherwise(
+            F.lit(1).cast("long")
+        )
+        # a run closes when the gram changes; if it repeated, its chars count
+        closed = F.when(
+            ~same & (acc["run"] >= 2),
+            acc["run"] * F.length(acc["prev"]).cast("long"),
+        ).otherwise(zero)
+        better = new_run > acc["best_cnt"]
+        return F.struct(
+            g.alias("prev"),
+            new_run.alias("run"),
+            F.when(better, new_run).otherwise(acc["best_cnt"]).alias("best_cnt"),
+            F.when(better, g).otherwise(acc["best_gram"]).alias("best_gram"),
+            (acc["dup_chars"] + closed).alias("dup_chars"),
+        )
+
+    def finish(acc: Column) -> Column:
+        last = F.when(
+            acc["run"] >= 2, acc["run"] * F.length(acc["prev"]).cast("long")
+        ).otherwise(zero)
+        return F.struct(
+            acc["best_cnt"].alias("top_count"),
+            acc["best_gram"].alias("top_gram"),
+            (acc["dup_chars"] + last).alias("dup_chars"),
+        )
+
+    return F.aggregate(grams, init, step, finish)

@@ -272,3 +272,113 @@ def test_bpe_vocab_token_count_null_text_is_zero_like_the_oracle(spark):
     # and a SUM over a group containing the NULL row stays exact
     total = df.agg(F.sum(bpe_vocab_token_count("s")).alias("t")).first()["t"]
     assert total == 3
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed Gopher repetition signals on planted texts."""
+    from airbyte_custom_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z"), (3, "q"), (4, ""), (5, "m m m m")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            repetition_stats("text", 2).alias("r2"),
+            repetition_stats("text", 3).alias("r3"),
+        ).collect()
+    }
+    # "a b a b a": 2-grams {a b:2, b a:2} -> top "a b" (lex tie-break),
+    # dup chars 2*3 + 2*3; 3-grams {a b a:2, b a b:1} -> dup 2*5
+    assert rows[1]["r2"]["top_count"] == 2
+    assert rows[1]["r2"]["top_gram"] == "a b"
+    assert rows[1]["r2"]["dup_chars"] == 12
+    assert rows[1]["r3"]["dup_chars"] == 10
+    # all-distinct grams: top run is the lexicographically first gram, cnt 1
+    assert rows[2]["r2"]["top_count"] == 1
+    assert rows[2]["r2"]["top_gram"] == "x y"
+    assert rows[2]["r2"]["dup_chars"] == 0
+    # sub-n-gram and empty docs: no grams, all-zero signals
+    for i in (3, 4):
+        assert rows[i]["r2"] == rows[i]["r3"]
+        assert rows[i]["r2"]["top_count"] == 0
+        assert rows[i]["r2"]["top_gram"] == ""
+        assert rows[i]["r2"]["dup_chars"] == 0
+    # "m m m m": 2-grams {m m: 3}; 3-grams {m m m: 2}
+    assert rows[5]["r2"]["top_count"] == 3
+    assert rows[5]["r2"]["dup_chars"] == 9
+    assert rows[5]["r3"]["dup_chars"] == 10
+
+
+def test_repetition_tie_breaks_to_lexicographically_smallest(spark):
+    """Equal-count grams must resolve identically in Spark and the oracle
+    (ORDER BY cnt DESC, gram ASC): the sorted-array fold only replaces the
+    best gram on a STRICTLY greater run, so the smallest gram wins ties."""
+    from airbyte_custom_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "c d a b c d a b")], "id long, text string"
+    )
+    r = df.select(repetition_stats("text", 2).alias("r")).first()["r"]
+    # counts: {c d: 2, d a: 2, a b: 2, b c: 1} -> tie at 2, "a b" smallest
+    assert r["top_count"] == 2
+    assert r["top_gram"] == "a b"
+
+
+def test_doc_repetition_plan_is_pure_map(spark, sf_dir):
+    """The repetition query must stay a zero-shuffle map stage (scan ->
+    project) with no Python — this is what makes it linear at 100 TB."""
+    import __spark_entry__ as entry_mod
+    from airbyte_custom_spark.plans.inspect import exchange_count, explain_str
+
+    df = entry_mod.queries()["doc_repetition"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert exchange_count(df) == 0, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_decontaminate_broadcasts_bench_grams(spark, sf_dir):
+    """The benchmark gram set is the bounded side: the candidate-vs-bench
+    join must be a BroadcastHashJoin (candidate grams never shuffle for
+    the join), leaving only the bench-distinct and per-doc-count
+    exchanges, both tiny."""
+    import __spark_entry__ as entry_mod
+    from airbyte_custom_spark.plans.inspect import exchange_count, explain_str
+
+    df = entry_mod.queries()["decontaminate"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert exchange_count(df) <= 2, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_decontaminate_flags_planted_overlap(spark, tmp_path):
+    """A candidate doc sharing a 3-gram with a benchmark doc is flagged
+    with the exact overlapping-gram count; clean docs are absent."""
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    docs = spark.createDataFrame(
+        [
+            # doc_id 3 is a benchmark doc (3 % 97 == 3)
+            (3, "alpha beta gamma delta", "en", "bench", 22),
+            # shares "alpha beta gamma" and "beta gamma delta"
+            (10, "alpha beta gamma delta epsilon", "en", "web", 30),
+            # no shared 3-gram
+            (11, "zeta eta theta iota", "en", "web", 19),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in entry_mod.queries()["decontaminate"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {10: 2}
