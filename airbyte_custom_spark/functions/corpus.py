@@ -120,3 +120,47 @@ def refresh_corpus(
         max_turns=max_turns,
         min_tokens=min_tokens,
     )
+
+
+def decontaminate_corpus(
+    docs_df: DataFrame,
+    bench_df: DataFrame,
+    *,
+    id_col: str = "conv_id",
+    text_col: str = "document",
+    bench_text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Drop training documents sharing any word ``k``-gram with a held-out
+    benchmark set (the GPT-3 appendix-C / PaLM §6 n-gram-overlap filter),
+    as the last gate before export.
+
+    Scale shape: the benchmark gram set is bounded by the BENCHMARK's
+    size, never the corpus's, so it is built once (one tiny distinct) and
+    BROADCAST; candidate grams stream map-side through the broadcast hash
+    join, and only the matched doc ids — a vanishing subset — shuffle for
+    the distinct + left-anti join.  The corpus itself is never shuffled on
+    gram content.  ``k`` defaults to 3 to match the ``decontaminate``
+    oracle query (13 in real web-corpus practice — see
+    ``__spark_entry__._DECON_K``)."""
+    from airbyte_custom_spark.functions.text import positional_ngrams
+
+    bench_grams = (
+        bench_df.select(
+            F.explode(
+                F.array_distinct(positional_ngrams(bench_text_col, k))
+            ).alias("g")
+        ).distinct()
+    )
+    hits = (
+        docs_df.select(
+            id_col,
+            F.explode(F.array_distinct(positional_ngrams(text_col, k))).alias(
+                "g"
+            ),
+        )
+        .join(F.broadcast(bench_grams), "g")
+        .select(id_col)
+        .distinct()
+    )
+    return docs_df.join(hits, id_col, "left_anti")

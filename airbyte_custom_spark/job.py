@@ -277,6 +277,13 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     ce.add_argument("--min-turns", type=int, default=2)
     ce.add_argument("--max-turns", type=int, default=30)
     ce.add_argument("--min-tokens", type=int, default=5)
+    ce.add_argument(
+        "--decontaminate", metavar="PARQUET",
+        help="parquet of held-out benchmark docs; drop exported documents "
+             "sharing any word n-gram with them (broadcast gram set)",
+    )
+    ce.add_argument("--bench-text-col", default="text")
+    ce.add_argument("--decon-k", type=int, default=3)
 
     rc = sub.add_parser(
         "refresh-corpus",
@@ -293,6 +300,9 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     rc.add_argument("--min-turns", type=int, default=2)
     rc.add_argument("--max-turns", type=int, default=30)
     rc.add_argument("--min-tokens", type=int, default=5)
+    rc.add_argument("--decontaminate", metavar="PARQUET")
+    rc.add_argument("--bench-text-col", default="text")
+    rc.add_argument("--decon-k", type=int, default=3)
 
     args = ap.parse_args(argv)
     spark = get_spark(app_name=f"acs-{args.cmd}")
@@ -588,12 +598,30 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             max_turns=args.max_turns,
             min_tokens=args.min_tokens,
         )
+        dropped = 0
+        gated = None
+        if args.decontaminate:
+            from airbyte_custom_spark.functions.corpus import (
+                decontaminate_corpus,
+            )
+
+            bench = spark.read.parquet(args.decontaminate)
+            gated = docs.persist()
+            before = gated.count()
+            docs = decontaminate_corpus(
+                gated, bench,
+                bench_text_col=args.bench_text_col, k=args.decon_k,
+            )
+            dropped = before - docs.count()
         docs.write.mode("overwrite").parquet(args.out)
+        if gated is not None:
+            gated.unpersist()
         out = spark.read.parquet(args.out)
         print(json.dumps({
             "out": args.out,
             "documents": out.count(),
             "total_tokens": out.agg(F.sum("total_tokens")).first()[0],
+            "decontaminated": dropped,
             "table_version": t_.version,
         }))
     elif args.cmd == "refresh-corpus":
@@ -608,6 +636,15 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             max_turns=args.max_turns,
             min_tokens=args.min_tokens,
         )
+        if args.decontaminate:
+            from airbyte_custom_spark.functions.corpus import (
+                decontaminate_corpus,
+            )
+
+            docs = decontaminate_corpus(
+                docs, spark.read.parquet(args.decontaminate),
+                bench_text_col=args.bench_text_col, k=args.decon_k,
+            )
         docs.write.mode("overwrite").parquet(args.out)
         print(json.dumps({
             "out": args.out,

@@ -81,3 +81,26 @@ def test_refresh_wide_gap_falls_back_to_shuffled_semi_join(spark, tmp_path):
     assert "SortMergeJoin" in plan, plan
     assert "BroadcastExchange" not in plan, plan
     assert sorted(broad.collect()) == sorted(wide.collect())
+
+
+def test_decontaminate_corpus_drops_only_overlapping(spark):
+    """Planted-overlap semantics + broadcast discipline of the export
+    gate's decontamination stage."""
+    from airbyte_custom_spark.functions.corpus import decontaminate_corpus
+    from airbyte_custom_spark.plans.inspect import explain_str
+
+    docs = spark.createDataFrame(
+        [
+            ("c1", "user: alpha beta gamma delta"),
+            ("c2", "user: zeta eta theta iota"),
+        ],
+        "conv_id string, document string",
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma epsilon",)], "text string"
+    )
+    out = decontaminate_corpus(docs, bench)
+    assert [r["conv_id"] for r in out.collect()] == ["c2"]
+    plan = explain_str(out, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -244,3 +244,40 @@ def test_cli_corpus_export_and_refresh(spark, tmp_path, capsys):
             t.read().filter(F.col("conv_id").isin(*gated_out))
         )
         assert regated.count() == 0
+
+
+def test_cli_corpus_export_decontaminate(spark, tmp_path, capsys):
+    """`corpus-export --decontaminate` drops exactly the documents sharing
+    a word n-gram with the benchmark parquet — a planted benchmark doc
+    copying one exported document's first turn removes that conversation
+    and no other; the JSON line accounts for the drop."""
+    from airbyte_custom_spark.functions.corpus import decontaminate_corpus
+
+    seg = str(tmp_path / "seg")
+    tbl = str(tmp_path / "tbl")
+    run(capsys, "gen", "--out", seg, "--events", "3000", "--chunks", "1")
+    run(capsys, "init", "--table", tbl, "--buckets", "4")
+    run(capsys, "tail", "--table", tbl, "--source", seg,
+        "--checkpoint", str(tmp_path / "ck"))
+
+    base = str(tmp_path / "base")
+    run(capsys, "corpus-export", "--table", tbl, "--out", base)
+    docs = spark.read.parquet(base)
+    victim = docs.orderBy("conv_id").first()
+
+    bench_path = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(victim["document"],)], "text string"
+    ).write.parquet(bench_path)
+
+    out = str(tmp_path / "clean")
+    ce = run(capsys, "corpus-export", "--table", tbl, "--out", out,
+             "--decontaminate", bench_path)
+    got = spark.read.parquet(out)
+    want = decontaminate_corpus(docs, spark.read.parquet(bench_path))
+    assert ce["decontaminated"] == docs.count() - want.count() >= 1
+    assert got.filter(F.col("conv_id") == victim["conv_id"]).count() == 0
+    cols = sorted(got.columns)
+    assert sorted(got.select(*cols).collect()) == sorted(
+        want.select(*cols).collect()
+    )
