@@ -992,6 +992,90 @@ WHERE n_turns BETWEEN 2 AND 30 AND total_tokens >= 5
 """
 
 
+def q_corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-LINE signals over ASSEMBLED conversations — the
+    repetition filter that runs on multi-line transcript documents (the
+    flat `documents` table has no line structure; the assembled corpus
+    does: one ``role: text`` line per turn).  Duplicate lines are PLANTED
+    the same way corpus_export plants PII: turns with turn_idx % 11 == 5
+    are cloned at turn_idx + 1000, so their assembled lines appear twice.
+    Line stats are the same zero-shuffle sorted-array fold as
+    `doc_repetition` (`functions/text.py::line_repetition_stats`); the
+    only exchange is the conv_id assembly itself."""
+    from airbyte_custom_spark.functions.corpus import assemble_corpus
+    from airbyte_custom_spark.functions.text import line_repetition_stats
+
+    final = _final_state_events(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    clones = final.filter(F.col("turn_idx") % 11 == 5).withColumn(
+        "turn_idx", F.col("turn_idx") + F.lit(1000)
+    )
+    docs = assemble_corpus(final.unionByName(clones), redact=False)
+    r = line_repetition_stats("document")
+    return docs.select(
+        "conv_id",
+        F.size(F.split(F.col("document"), "\n")).cast("long").alias("n_lines"),
+        r["dup_items"].alias("dup_line_count"),
+        r["dup_chars"].alias("dup_line_chars"),
+        r["top_count"].alias("top_line_count"),
+        F.length("document").cast("long").alias("n_chars"),
+    )
+
+
+def _oracle_corpus_repetition() -> str:
+    return f"""
+WITH ev0 AS ({DERIVATION_SQL}),
+ranked AS (
+  SELECT ev0.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ev0
+),
+final AS (
+  SELECT conv_id, turn_idx, role, text
+  FROM ranked WHERE rn = 1 AND op <> 'd'
+),
+with_clones AS (
+  SELECT conv_id, turn_idx, role, text FROM final
+  UNION ALL
+  SELECT conv_id, turn_idx + 1000 AS turn_idx, role, text
+  FROM final WHERE turn_idx % 11 = 5
+),
+docs AS (
+  SELECT conv_id, count(*) AS n_turns,
+         string_agg(concat_ws(': ', role, text),
+                    chr(10) ORDER BY turn_idx) AS document
+  FROM with_clones GROUP BY conv_id
+),
+corpus AS (
+  SELECT conv_id, document FROM docs
+  WHERE n_turns BETWEEN 2 AND 30
+    AND len(list_filter(regexp_split_to_array(document, '\\s+'),
+                        x -> x <> '')) >= 5
+),
+lines AS (
+  SELECT conv_id, unnest(string_split(document, chr(10))) AS ln FROM corpus
+),
+c AS (
+  SELECT conv_id, ln, CAST(count(*) AS BIGINT) AS cnt
+  FROM lines GROUP BY conv_id, ln
+),
+agg AS (
+  SELECT conv_id,
+         CAST(sum(cnt) AS BIGINT) AS n_lines,
+         CAST(COALESCE(sum(cnt) FILTER (cnt >= 2), 0) AS BIGINT)
+             AS dup_line_count,
+         CAST(COALESCE(sum(cnt * length(ln)) FILTER (cnt >= 2), 0) AS BIGINT)
+             AS dup_line_chars,
+         CAST(max(cnt) AS BIGINT) AS top_line_count
+  FROM c GROUP BY conv_id
+)
+SELECT corpus.conv_id, agg.n_lines, agg.dup_line_count, agg.dup_line_chars,
+       agg.top_line_count, CAST(length(corpus.document) AS BIGINT) AS n_chars
+FROM corpus JOIN agg USING (conv_id)
+"""
+
+
 def q_conversation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level near-dup over ASSEMBLED conversations — the CDC →
     assembly → MinHash+LSH composition a training pipeline runs before
@@ -2189,6 +2273,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wap_publish_final_state": q_wap_publish_final_state,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
         "chunked_snapshot_plan": q_chunked_snapshot_plan,
+        "corpus_repetition": q_corpus_repetition,
     }
 
 
@@ -2334,6 +2419,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window_rollup": _ORACLE_SESSION_WINDOWS,
         "sft_pairs": _ORACLE_SFT_PAIRS,
         "corpus_export": _oracle_corpus_export(),
+        "corpus_repetition": _oracle_corpus_repetition(),
         "incremental_corpus_refresh": _oracle_corpus_refresh(),
         "conversation_token_budget": _ORACLE_TOKEN_BUDGET,
         "conversation_bpe_budget": _oracle_bpe_budget(),

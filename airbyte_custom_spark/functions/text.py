@@ -323,7 +323,26 @@ def repetition_stats(col: Column | str, n: int) -> Column:
     every document and is strictly worse.  Integer outputs by design so
     the DuckDB oracle can match bit-for-bit (the r04 lesson: fractions
     invite dtype drift; numerator/denominator pairs don't)."""
-    grams = F.array_sort(positional_ngrams(col, n))
+    return _repetition_fold(F.array_sort(positional_ngrams(col, n)))
+
+
+def line_repetition_stats(col: Column | str) -> Column:
+    """The Gopher duplicate-LINE signal (same paper §A1.1) over a
+    multi-line document (e.g. an assembled conversation transcript, one
+    ``role: text`` line per turn): the same sorted-array fold as
+    :func:`repetition_stats` with whole lines as the items.  ``dup_items``
+    is the number of lines belonging to duplicated-line groups (the
+    numerator of duplicate-line-fraction; denominator: the line count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _repetition_fold(F.array_sort(F.split(c, "\n")))
+
+
+def _repetition_fold(sorted_items: Column) -> Column:
+    """Run-length fold over a SORTED item array → struct(top_count,
+    top_gram, dup_chars, dup_items).  Ties for the top item resolve to the
+    lexicographically smallest (the fold only replaces the best on a
+    STRICTLY longer run, and sorted order presents smaller items first) —
+    the rule the DuckDB oracles mirror with ORDER BY cnt DESC, item ASC."""
     zero = F.lit(0).cast("long")
     init = F.struct(
         F.lit("").alias("prev"),
@@ -331,6 +350,7 @@ def repetition_stats(col: Column | str, n: int) -> Column:
         zero.alias("best_cnt"),
         F.lit("").alias("best_gram"),
         zero.alias("dup_chars"),
+        zero.alias("dup_items"),
     )
 
     def step(acc: Column, g: Column) -> Column:
@@ -338,28 +358,33 @@ def repetition_stats(col: Column | str, n: int) -> Column:
         new_run = F.when(same, acc["run"] + F.lit(1).cast("long")).otherwise(
             F.lit(1).cast("long")
         )
-        # a run closes when the gram changes; if it repeated, its chars count
-        closed = F.when(
-            ~same & (acc["run"] >= 2),
-            acc["run"] * F.length(acc["prev"]).cast("long"),
+        # a run closes when the item changes; if it repeated, it counts
+        dup_run = ~same & (acc["run"] >= 2)
+        closed_chars = F.when(
+            dup_run, acc["run"] * F.length(acc["prev"]).cast("long")
         ).otherwise(zero)
+        closed_items = F.when(dup_run, acc["run"]).otherwise(zero)
         better = new_run > acc["best_cnt"]
         return F.struct(
             g.alias("prev"),
             new_run.alias("run"),
             F.when(better, new_run).otherwise(acc["best_cnt"]).alias("best_cnt"),
             F.when(better, g).otherwise(acc["best_gram"]).alias("best_gram"),
-            (acc["dup_chars"] + closed).alias("dup_chars"),
+            (acc["dup_chars"] + closed_chars).alias("dup_chars"),
+            (acc["dup_items"] + closed_items).alias("dup_items"),
         )
 
     def finish(acc: Column) -> Column:
-        last = F.when(
-            acc["run"] >= 2, acc["run"] * F.length(acc["prev"]).cast("long")
+        dup_run = acc["run"] >= 2
+        last_chars = F.when(
+            dup_run, acc["run"] * F.length(acc["prev"]).cast("long")
         ).otherwise(zero)
+        last_items = F.when(dup_run, acc["run"]).otherwise(zero)
         return F.struct(
             acc["best_cnt"].alias("top_count"),
             acc["best_gram"].alias("top_gram"),
-            (acc["dup_chars"] + last).alias("dup_chars"),
+            (acc["dup_chars"] + last_chars).alias("dup_chars"),
+            (acc["dup_items"] + last_items).alias("dup_items"),
         )
 
-    return F.aggregate(grams, init, step, finish)
+    return F.aggregate(sorted_items, init, step, finish)

@@ -171,8 +171,10 @@ def _apply_job(
     }
 
 
-def child_apply_run(seg_dir: str, n_events: int, cores: int) -> None:
-    spark = _mk_spark(f"local[{cores}]", shuffle=SCALING_SHUFFLE)
+def child_apply_run(
+    seg_dir: str, n_events: int, cores: int, master: str | None = None
+) -> None:
+    spark = _mk_spark(master or f"local[{cores}]", shuffle=SCALING_SHUFFLE)
     _prime(spark)
     stats = _apply_job(spark, seg_dir, n_events, max_files=None)  # one batch
     spark.stop()
@@ -462,12 +464,21 @@ def main() -> None:
     ap.add_argument("--headline-run", nargs=2, metavar=("NEVENTS", "SEGDIR"))
     ap.add_argument("--gen-run", nargs=2, metavar=("NEVENTS", "SEGDIR"))
     ap.add_argument("--cores", type=int, default=CPUS)
+    ap.add_argument(
+        "--master",
+        help="full Spark master URL for --apply-run (overrides --cores; "
+             "used by scripts/cluster_scaling.py to run the same job on "
+             "local-cluster[N,c,m] — separate executor JVMs)",
+    )
     ap.add_argument("--skip-scaling", action="store_true")
     ap.add_argument("--events", type=int, default=None)
     args = ap.parse_args()
 
     if args.apply_run:
-        child_apply_run(args.apply_run[0], int(args.apply_run[1]), args.cores)
+        child_apply_run(
+            args.apply_run[0], int(args.apply_run[1]), args.cores,
+            master=args.master,
+        )
         return
     if args.headline_run:
         child_headline_run(int(args.headline_run[0]), args.headline_run[1])

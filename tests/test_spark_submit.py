@@ -72,3 +72,43 @@ def test_spark_submit_py_files_lifecycle(tmp_path):
     assert out["ok"] is True
     assert out["rows"] > 0
     assert out["version"] >= 1
+
+
+def test_cluster_scaling_script_smoke(tmp_path):
+    """scripts/cluster_scaling.py end-to-end at toy scale: the same apply
+    job on local-cluster[1,...] vs local-cluster[4,...] — separate
+    executor JVM processes — producing the efficiency artifact.  Tiny
+    event count: this asserts the harness runs and the artifact parses,
+    not the efficiency value (floor-dominated at 50k events)."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    art = os.path.join(repo, "CLUSTER_SCALING.json")
+    backup = None
+    if os.path.exists(art):
+        backup = art + ".pytest-backup"
+        shutil.copy(art, backup)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "cluster_scaling.py"),
+             "--events", "50000", "--reps", "1", "--mem-mb", "2048"],
+            capture_output=True, text=True, timeout=420, env=env, cwd=repo,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        line = out.stdout.strip().splitlines()[-1]
+        parsed = json.loads(line)
+        assert parsed["pair_executors"] == [1, 4]
+        assert parsed["efficiency_n_to_4n"] > 0
+        with open(art) as f:
+            full = json.load(f)
+        assert len(full["reps"]) == 1
+    finally:
+        if backup:
+            shutil.move(backup, art)
+        elif os.path.exists(art):
+            os.remove(art)

@@ -382,3 +382,35 @@ def test_decontaminate_flags_planted_overlap(spark, tmp_path):
         ).collect()
     }
     assert got == {10: 2}
+
+
+def test_line_repetition_stats_known_values(spark):
+    """Duplicate-line fold on a planted multi-line document."""
+    from airbyte_custom_spark.functions.text import line_repetition_stats
+
+    doc = "user: hi\nassistant: yo\nuser: hi\nuser: hi\nassistant: bye"
+    df = spark.createDataFrame([(doc,)], "document string")
+    r = df.select(line_repetition_stats("document").alias("r")).first()["r"]
+    # "user: hi" appears 3x (8 chars each); other lines unique
+    assert r["top_count"] == 3
+    assert r["top_gram"] == "user: hi"
+    assert r["dup_items"] == 3
+    assert r["dup_chars"] == 24
+    # single-line doc: no duplicates
+    one = spark.createDataFrame([("only line",)], "document string")
+    r1 = one.select(line_repetition_stats("document").alias("r")).first()["r"]
+    assert r1["dup_items"] == 0 and r1["top_count"] == 1
+
+
+def test_corpus_repetition_plan_discipline(spark, sf_dir):
+    """Line-repetition over assembled conversations adds NO exchange
+    beyond the final-state reduce + assembly aggregations — the fold is
+    map-side; no global sort, no Python."""
+    import __spark_entry__ as entry_mod
+    from airbyte_custom_spark.plans.inspect import exchange_count, explain_str
+
+    df = entry_mod.queries()["corpus_repetition"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert exchange_count(df) <= 3, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "EvalPython" not in plan, plan
