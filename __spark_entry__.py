@@ -2250,16 +2250,19 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_stats": q_doc_text_stats,
         "profile_columns": q_profile_columns,
         "doc_repetition": q_doc_repetition,
+        "corpus_repetition": q_corpus_repetition,
         "decontaminate": q_decontaminate,
         "doc_quality_lang": q_doc_quality_lang,
         "doc_fingerprints": q_doc_fingerprints,
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # ---- slot 51+ below: rotated out this round (see policy note) ----
         # doc_lang_hits: its outputs are the exact inputs doc_quality_lang
         # (slot ≤50) re-derives; raw_table_envelope: projection of the same
         # raw table raw_table_dedup (slot ≤50) checks — both have r01–r04
-        # driver passes and stay mirror-checked.
+        # driver passes and stay mirror-checked; dedup_exact: 4 rounds of
+        # driver passes (r01–r04), demoted to make room for the new
+        # corpus_repetition (never driver-checked), stays mirror-checked.
+        "dedup_exact": q_dedup_exact,
         "doc_lang_hits": q_doc_lang_hits,
         "raw_table_envelope": q_raw_table_envelope,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
@@ -2273,7 +2276,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wap_publish_final_state": q_wap_publish_final_state,
         "cdc_stream_tail_final_state": q_cdc_stream_tail_final_state,
         "chunked_snapshot_plan": q_chunked_snapshot_plan,
-        "corpus_repetition": q_corpus_repetition,
     }
 
 
