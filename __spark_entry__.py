@@ -1076,6 +1076,99 @@ FROM corpus JOIN agg USING (conv_id)
 """
 
 
+_SAMPLE_RATES = {"en": 0.25, "de": 0.5}  # downsample the dominant langs
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix rebalance over the documents table:
+    keep 25% of English, 50% of German, everything else whole — decided
+    per row by an md5-prefix hash threshold, so the SAMPLE ITSELF (not
+    just its size) is reproducible across engines and the oracle is a
+    plain WHERE clause (`functions/sampling.py`).  Scale shape: zero
+    exchanges — a codegen'd row-local predicate that pushes to the scan
+    like any other filter."""
+    from airbyte_custom_spark.functions.sampling import stratified_sample
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return stratified_sample(docs, "lang", "doc_id", _SAMPLE_RATES).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang WHEN 'en' THEN '40000000'
+                WHEN 'de' THEN '80000000'
+                ELSE 'zzzzzzzz' END
+"""
+
+_PACK_MAX_TOKENS = 64
+
+
+def q_context_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing of the final transcript state: each
+    conversation's turns, in turn order, chunked into windows of at most
+    `_PACK_MAX_TOKENS` (64) whitespace tokens by cumulative token offset
+    (`functions/packing.py` — the last step before transcripts become
+    fixed-length training examples).  Per (conv_id, window_id): turn
+    count, token total, and the turn range — all integers, so parity is
+    exact.  ONE conv_id-keyed exchange (window cum-sum + the per-window
+    aggregation share it), no global sort, no Python."""
+    from airbyte_custom_spark.functions.packing import pack_context_windows
+    from airbyte_custom_spark.functions.text import token_count
+
+    ev = _final_state_events(spark, sf_dir).select(
+        "conv_id", "turn_idx", token_count("text").alias("tok")
+    )
+    packed = pack_context_windows(
+        ev, ["conv_id"], "turn_idx", "tok", _PACK_MAX_TOKENS
+    )
+    return packed.groupBy("conv_id", "window_id").agg(
+        F.count("*").cast("long").alias("turns"),
+        F.sum("tok").cast("long").alias("window_tokens"),
+        F.min("turn_idx").cast("long").alias("first_turn"),
+        F.max("turn_idx").cast("long").alias("last_turn"),
+    )
+
+
+_ORACLE_CONTEXT_WINDOWS = f"""
+WITH ev0 AS ({DERIVATION_SQL}),
+ranked AS (
+  SELECT ev0.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ev0
+),
+final AS (
+  SELECT conv_id, turn_idx, text
+  FROM ranked WHERE rn = 1 AND op <> 'd'
+),
+tokd AS (
+  SELECT conv_id, turn_idx,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS tok
+  FROM final
+),
+offs AS (
+  SELECT conv_id, turn_idx, tok,
+         COALESCE(sum(tok) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM tokd
+)
+SELECT conv_id,
+       CAST(cum_before // {_PACK_MAX_TOKENS} AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS turns,
+       CAST(sum(tok) AS BIGINT) AS window_tokens,
+       CAST(min(turn_idx) AS BIGINT) AS first_turn,
+       CAST(max(turn_idx) AS BIGINT) AS last_turn
+FROM offs
+GROUP BY conv_id, CAST(cum_before // {_PACK_MAX_TOKENS} AS BIGINT)
+"""
+
+
 def q_conversation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level near-dup over ASSEMBLED conversations — the CDC →
     assembly → MinHash+LSH composition a training pipeline runs before
@@ -2252,17 +2345,22 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "corpus_repetition": q_corpus_repetition,
         "decontaminate": q_decontaminate,
-        "doc_quality_lang": q_doc_quality_lang,
-        "doc_fingerprints": q_doc_fingerprints,
+        "stratified_sample": q_stratified_sample,
+        "context_window_pack": q_context_window_pack,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # ---- slot 51+ below: rotated out this round (see policy note) ----
         # doc_lang_hits: its outputs are the exact inputs doc_quality_lang
-        # (slot ≤50) re-derives; raw_table_envelope: projection of the same
-        # raw table raw_table_dedup (slot ≤50) checks — both have r01–r04
-        # driver passes and stay mirror-checked; dedup_exact: 4 rounds of
-        # driver passes (r01–r04), demoted to make room for the new
-        # corpus_repetition (never driver-checked), stays mirror-checked.
+        # re-derives; raw_table_envelope: projection of the same raw table
+        # raw_table_dedup (slot ≤50) checks.  doc_lang_hits,
+        # raw_table_envelope, dedup_exact, doc_quality_lang, and
+        # doc_fingerprints all carry r01–r04 driver passes and rotate out
+        # to make room for the round-5 additions that have never had a
+        # driver row (corpus_repetition, stratified_sample,
+        # context_window_pack); every demoted query stays mirror-checked
+        # at sf0.01 AND sf0.1.
         "dedup_exact": q_dedup_exact,
+        "doc_quality_lang": q_doc_quality_lang,
+        "doc_fingerprints": q_doc_fingerprints,
         "doc_lang_hits": q_doc_lang_hits,
         "raw_table_envelope": q_raw_table_envelope,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
@@ -2422,6 +2520,8 @@ def oracle_sql() -> dict[str, str]:
         "sft_pairs": _ORACLE_SFT_PAIRS,
         "corpus_export": _oracle_corpus_export(),
         "corpus_repetition": _oracle_corpus_repetition(),
+        "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
+        "context_window_pack": _ORACLE_CONTEXT_WINDOWS,
         "incremental_corpus_refresh": _oracle_corpus_refresh(),
         "conversation_token_budget": _ORACLE_TOKEN_BUDGET,
         "conversation_bpe_budget": _oracle_bpe_budget(),

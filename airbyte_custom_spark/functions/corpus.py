@@ -30,34 +30,99 @@ def assemble_corpus(
     min_turns: int = 2,
     max_turns: int = 30,
     min_tokens: int = 5,
+    sample_rate: float | None = None,
+    pack_max_tokens: int | None = None,
 ) -> DataFrame:
     """Turn rows (``conv_id, turn_idx, role, text``) → gated training
     documents (``conv_id, n_turns, total_tokens, document``).
 
     PII scrub (optional) → per-conversation assembly (turns sorted
     in-group, ``role: text`` lines) → quality gate (turn-count band +
-    token floor on the assembled document)."""
+    token floor on the assembled document).
+
+    ``sample_rate`` keeps that fraction of CONVERSATIONS by the
+    deterministic md5 hash threshold (``functions/sampling.py``) — the
+    decision depends only on conv_id, so an incremental refresh keeps or
+    drops the same conversations as the base export, and the filter is a
+    zero-exchange predicate applied BEFORE the assembly shuffle (dropped
+    conversations never shuffle at all).
+
+    ``pack_max_tokens`` switches the output to CONTEXT WINDOWS: the same
+    gated conversations (turn band + conversation-level token floor —
+    gating happens before packing so every turn of every exported
+    conversation lands in exactly one window), chunked by cumulative
+    token offset (``functions/packing.py``).  Output gains a
+    ``window_id`` column; ``n_turns``/``total_tokens``/``document`` are
+    then per window.  Still one conv_id-keyed exchange: the gate windows,
+    the packing cum-sum, and the per-window aggregation all share it."""
     rows = turns_df.select("conv_id", "turn_idx", "role", "text")
+    if sample_rate is not None:
+        from airbyte_custom_spark.functions.sampling import keep_fraction
+
+        rows = rows.filter(keep_fraction("conv_id", sample_rate))
     clean = redact_pii("text") if redact else F.col("text")
-    turns = F.array_sort(F.collect_list(F.struct("turn_idx", "role", "clean")))
-    docs = (
+    if pack_max_tokens is None:
+        turns = F.array_sort(
+            F.collect_list(F.struct("turn_idx", "role", "clean"))
+        )
+        docs = (
+            rows.withColumn("clean", clean)
+            .groupBy("conv_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.array_join(
+                    F.transform(
+                        turns,
+                        lambda s: F.concat_ws(": ", s["role"], s["clean"]),
+                    ),
+                    "\n",
+                ).alias("document"),
+            )
+            .withColumn("total_tokens", token_count("document"))
+        )
+        return docs.filter(
+            F.col("n_turns").between(min_turns, max_turns)
+            & (F.col("total_tokens") >= min_tokens)
+        ).select("conv_id", "n_turns", "total_tokens", "document")
+
+    from pyspark.sql.window import Window
+
+    from airbyte_custom_spark.functions.packing import pack_context_windows
+
+    # per-line token counts ARE the document token counts: lines join
+    # with '\n' (whitespace), so the whitespace-token total of a window's
+    # document equals the sum of its lines' counts
+    lined = (
         rows.withColumn("clean", clean)
-        .groupBy("conv_id")
+        .withColumn("line", F.concat_ws(": ", "role", "clean"))
+        .withColumn("tok", token_count("line"))
+    )
+    conv = Window.partitionBy("conv_id")
+    gated = (
+        lined.withColumn("conv_turns", F.count(F.lit(1)).over(conv))
+        .withColumn("conv_tokens", F.sum("tok").over(conv))
+        .filter(
+            F.col("conv_turns").between(min_turns, max_turns)
+            & (F.col("conv_tokens") >= min_tokens)
+        )
+    )
+    packed = pack_context_windows(
+        gated, ["conv_id"], "turn_idx", "tok", pack_max_tokens
+    )
+    win_lines = F.array_sort(F.collect_list(F.struct("turn_idx", "line")))
+    return (
+        packed.groupBy("conv_id", "window_id")
         .agg(
             F.count(F.lit(1)).alias("n_turns"),
             F.array_join(
-                F.transform(
-                    turns, lambda s: F.concat_ws(": ", s["role"], s["clean"])
-                ),
-                "\n",
+                F.transform(win_lines, lambda s: s["line"]), "\n"
             ).alias("document"),
         )
         .withColumn("total_tokens", token_count("document"))
+        .select(
+            "conv_id", "window_id", "n_turns", "total_tokens", "document"
+        )
     )
-    return docs.filter(
-        F.col("n_turns").between(min_turns, max_turns)
-        & (F.col("total_tokens") >= min_tokens)
-    ).select("conv_id", "n_turns", "total_tokens", "document")
 
 
 def refresh_corpus(
@@ -68,6 +133,8 @@ def refresh_corpus(
     min_turns: int = 2,
     max_turns: int = 30,
     min_tokens: int = 5,
+    sample_rate: float | None = None,
+    pack_max_tokens: int | None = None,
     broadcast_threshold_rows: int = 10_000_000,
 ) -> DataFrame:
     """Incremental (daily-export) refresh: re-assemble ONLY the
@@ -119,6 +186,8 @@ def refresh_corpus(
         min_turns=min_turns,
         max_turns=max_turns,
         min_tokens=min_tokens,
+        sample_rate=sample_rate,
+        pack_max_tokens=pack_max_tokens,
     )
 
 

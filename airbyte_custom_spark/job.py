@@ -284,6 +284,18 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     )
     ce.add_argument("--bench-text-col", default="text")
     ce.add_argument("--decon-k", type=int, default=3)
+    ce.add_argument(
+        "--sample-rate", type=float, default=None,
+        help="keep this fraction of conversations by the deterministic "
+             "md5 hash threshold (the sampled set is a pure function of "
+             "conv_id — stable across reruns and refreshes)",
+    )
+    ce.add_argument(
+        "--pack-max-tokens", type=int, default=None,
+        help="export context windows of at most this many whitespace "
+             "tokens instead of whole conversations (adds a window_id "
+             "column; gating stays conversation-level)",
+    )
 
     rc = sub.add_parser(
         "refresh-corpus",
@@ -303,6 +315,8 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     rc.add_argument("--decontaminate", metavar="PARQUET")
     rc.add_argument("--bench-text-col", default="text")
     rc.add_argument("--decon-k", type=int, default=3)
+    rc.add_argument("--sample-rate", type=float, default=None)
+    rc.add_argument("--pack-max-tokens", type=int, default=None)
 
     args = ap.parse_args(argv)
     spark = get_spark(app_name=f"acs-{args.cmd}")
@@ -597,6 +611,8 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             min_turns=args.min_turns,
             max_turns=args.max_turns,
             min_tokens=args.min_tokens,
+            sample_rate=args.sample_rate,
+            pack_max_tokens=args.pack_max_tokens,
         )
         dropped = 0
         gated = None
@@ -635,6 +651,8 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             min_turns=args.min_turns,
             max_turns=args.max_turns,
             min_tokens=args.min_tokens,
+            sample_rate=args.sample_rate,
+            pack_max_tokens=args.pack_max_tokens,
         )
         if args.decontaminate:
             from airbyte_custom_spark.functions.corpus import (

@@ -104,3 +104,73 @@ def test_decontaminate_corpus_drops_only_overlapping(spark):
     plan = explain_str(out, "simple")
     assert "BroadcastHashJoin" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_packed_export_partitions_the_gated_corpus(spark, tmp_path):
+    """`pack_max_tokens` must CHUNK the same corpus, not change it: the
+    packed export covers exactly the conversations the base export gates
+    in, every turn lands in exactly one window, and re-joining a
+    conversation's windows in window order reconstructs its base
+    document byte for byte."""
+    t = _table(spark, tmp_path, "packed")
+    t.merge(change_events(spark, 3000, n_convs=40, seed=5), batch_id=0)
+
+    base = {r["conv_id"]: r for r in assemble_corpus(t.read()).collect()}
+    packed = assemble_corpus(t.read(), pack_max_tokens=32).collect()
+    assert packed and any(r["window_id"] > 0 for r in packed)
+
+    by_conv = {}
+    for r in packed:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    assert set(by_conv) == set(base)
+    for cid, wins in by_conv.items():
+        wins.sort(key=lambda r: r["window_id"])
+        assert sum(r["n_turns"] for r in wins) == base[cid]["n_turns"]
+        assert sum(r["total_tokens"] for r in wins) == base[cid]["total_tokens"]
+        assert "\n".join(r["document"] for r in wins) == base[cid]["document"]
+
+
+def test_sampled_export_is_the_deterministic_subset(spark, tmp_path):
+    """`sample_rate` must keep exactly the conversations the md5 rule
+    selects (recomputed independently with hashlib) — and the refresh
+    path under the same rate can only ever emit sampled-in
+    conversations."""
+    import hashlib
+
+    t = _table(spark, tmp_path, "sampled")
+    ev = change_events(spark, 3000, n_convs=40, seed=9)
+    hi = ev.agg(F.max("lsn")).first()[0]
+    t.merge(ev.filter(F.col("lsn") <= hi // 2), batch_id=0)
+    t.merge(ev.filter(F.col("lsn") > hi // 2), batch_id=1)
+
+    base = {r["conv_id"] for r in assemble_corpus(t.read()).collect()}
+    rate = 0.5
+    sampled = {
+        r["conv_id"]
+        for r in assemble_corpus(t.read(), sample_rate=rate).collect()
+    }
+    expected = {
+        cid for cid in base
+        if int(hashlib.md5(cid.encode()).hexdigest()[:8], 16)
+        < int(rate * 16 ** 8)
+    }
+    assert sampled == expected
+    assert 0 < len(sampled) < len(base)
+
+    refreshed = {
+        r["conv_id"]
+        for r in refresh_corpus(t, int(hi) // 2, sample_rate=rate).collect()
+    }
+    assert refreshed <= sampled  # refresh never resamples the world
+
+
+def test_packed_refresh_unions_with_packed_export(spark, tmp_path):
+    t = _table(spark, tmp_path, "packedref")
+    ev = change_events(spark, 2000, n_convs=30, seed=11)
+    hi = ev.agg(F.max("lsn")).first()[0]
+    t.merge(ev.filter(F.col("lsn") <= hi // 2), batch_id=0)
+    t.merge(ev.filter(F.col("lsn") > hi // 2), batch_id=1)
+    base = assemble_corpus(t.read(), pack_max_tokens=32)
+    ref = refresh_corpus(t, int(hi) // 2, pack_max_tokens=32)
+    assert ref.schema == base.schema
+    assert ref.count() > 0

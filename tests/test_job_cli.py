@@ -281,3 +281,43 @@ def test_cli_corpus_export_decontaminate(spark, tmp_path, capsys):
     assert sorted(got.select(*cols).collect()) == sorted(
         want.select(*cols).collect()
     )
+
+
+def test_cli_corpus_export_packed_and_sampled(spark, tmp_path, capsys):
+    """`corpus-export --sample-rate --pack-max-tokens` ships exactly the
+    library semantics: the written parquet equals assemble_corpus under
+    the same knobs, and the sampled set is the deterministic md5 subset
+    (so a rerun or refresh reproduces it)."""
+    from airbyte_custom_spark.functions.corpus import assemble_corpus
+
+    seg = str(tmp_path / "seg")
+    tbl = str(tmp_path / "tbl")
+    run(capsys, "gen", "--out", seg, "--events", "3000", "--chunks", "1")
+    run(capsys, "init", "--table", tbl, "--buckets", "4")
+    run(capsys, "tail", "--table", tbl, "--source", seg,
+        "--checkpoint", str(tmp_path / "ck"))
+
+    out = str(tmp_path / "packed_corpus")
+    ce = run(capsys, "corpus-export", "--table", tbl, "--out", out,
+             "--sample-rate", "0.5", "--pack-max-tokens", "32")
+    t = LakeTable.load(spark, tbl)
+    want = assemble_corpus(t.read(), sample_rate=0.5, pack_max_tokens=32)
+    got = spark.read.parquet(out)
+    assert "window_id" in got.columns
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    assert sorted(got.select(*cols).collect()) == sorted(
+        want.select(*cols).collect()
+    )
+    assert ce["documents"] == want.count()
+    # sampled CLI export is a strict subset of the unsampled one
+    full = run(capsys, "corpus-export", "--table", tbl,
+               "--out", str(tmp_path / "full_corpus"))
+    assert 0 < ce["documents"] and full["documents"] > 0
+    sampled_convs = {r["conv_id"] for r in got.select("conv_id").collect()}
+    full_convs = {
+        r["conv_id"]
+        for r in spark.read.parquet(str(tmp_path / "full_corpus"))
+        .select("conv_id").collect()
+    }
+    assert sampled_convs < full_convs
