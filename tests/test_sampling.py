@@ -84,10 +84,18 @@ def test_plan_is_map_side_filter(spark, sf_dir):
     import os
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    out = stratified_sample(docs, "lang", "doc_id", {"en": 0.25})
+    out = stratified_sample(docs, "lang", "doc_id", {"en": 0.25}).select(
+        "doc_id", "lang", "source"
+    )
     plan = explain_str(out, "simple")
     assert exchange_count(out) == 0, plan
     assert "EvalPython" not in plan, plan
+    # column pruning reaches the scan: only the 3 projected columns (the
+    # predicate needs no others) — a scan reading `text` for a 3-column
+    # sample would drag the corpus payload through the filter
+    formatted = explain_str(out, "formatted")
+    read = [l for l in formatted.splitlines() if "ReadSchema" in l]
+    assert read and "text" not in read[0], read
 
 
 def test_partitioning_does_not_change_the_sample(spark):
