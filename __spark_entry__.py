@@ -1104,13 +1104,16 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
                 ELSE 'zzzzzzzz' END
 """
 
-_PACK_MAX_TOKENS = 64
+_PACK_MAX_TOKENS = 8
 
 
 def q_context_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing of the final transcript state: each
     conversation's turns, in turn order, chunked into windows of at most
-    `_PACK_MAX_TOKENS` (64) whitespace tokens by cumulative token offset
+    `_PACK_MAX_TOKENS` (8) whitespace tokens by cumulative token offset
+    — sized to the synthetic transcripts (~5-token turns, ~30-token
+    conversations) so the multi-window path is genuinely exercised by
+    the oracle comparison, not just by pytest
     (`functions/packing.py` — the last step before transcripts become
     fixed-length training examples).  Per (conv_id, window_id): turn
     count, token total, and the turn range — all integers, so parity is
@@ -1166,6 +1169,83 @@ SELECT conv_id,
        CAST(max(turn_idx) AS BIGINT) AS last_turn
 FROM offs
 GROUP BY conv_id, CAST(cum_before // {_PACK_MAX_TOKENS} AS BIGINT)
+"""
+
+_SLIDE_STRIDE = 4
+
+
+def q_context_window_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-context packing (stride < max): window w covers token
+    offsets [w*4, w*4 + 8), so each turn lands in every window whose
+    span covers its starting offset (~2× replication at this overlap;
+    strides sized to the ~5-token synthetic turns so the fan-out path is
+    genuinely exercised by the oracle comparison) —
+    the pretraining rule that keeps boundary-adjacent text from being
+    seen in only one truncated context.  The window-id fan-out is a
+    map-side explode(sequence(lo, hi)) AFTER the one conv_id exchange;
+    the per-window aggregation reuses the same partitioning."""
+    from airbyte_custom_spark.functions.packing import pack_context_windows
+    from airbyte_custom_spark.functions.text import token_count
+
+    ev = _final_state_events(spark, sf_dir).select(
+        "conv_id", "turn_idx", token_count("text").alias("tok")
+    )
+    packed = pack_context_windows(
+        ev, ["conv_id"], "turn_idx", "tok", _PACK_MAX_TOKENS,
+        stride=_SLIDE_STRIDE,
+    )
+    return packed.groupBy("conv_id", "window_id").agg(
+        F.count("*").cast("long").alias("turns"),
+        F.sum("tok").cast("long").alias("window_tokens"),
+        F.min("turn_idx").cast("long").alias("first_turn"),
+        F.max("turn_idx").cast("long").alias("last_turn"),
+    )
+
+
+_ORACLE_CONTEXT_SLIDE = f"""
+WITH ev0 AS ({DERIVATION_SQL}),
+ranked AS (
+  SELECT ev0.*, row_number() OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ev0
+),
+final AS (
+  SELECT conv_id, turn_idx, text
+  FROM ranked WHERE rn = 1 AND op <> 'd'
+),
+tokd AS (
+  SELECT conv_id, turn_idx,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS tok
+  FROM final
+),
+offs AS (
+  SELECT conv_id, turn_idx, tok,
+         COALESCE(sum(tok) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM tokd
+),
+fanned AS (
+  SELECT conv_id, turn_idx, tok,
+         unnest(generate_series(
+             greatest(0, CAST(floor(CAST(cum_before - {_PACK_MAX_TOKENS}
+                                         AS DOUBLE) / {_SLIDE_STRIDE})
+                              AS BIGINT) + 1),
+             CAST(floor(CAST(cum_before AS DOUBLE) / {_SLIDE_STRIDE})
+                  AS BIGINT)
+         )) AS window_id
+  FROM offs
+)
+SELECT conv_id,
+       CAST(window_id AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS turns,
+       CAST(sum(tok) AS BIGINT) AS window_tokens,
+       CAST(min(turn_idx) AS BIGINT) AS first_turn,
+       CAST(max(turn_idx) AS BIGINT) AS last_turn
+FROM fanned
+GROUP BY conv_id, window_id
 """
 
 
@@ -2347,7 +2427,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "context_window_pack": q_context_window_pack,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "context_window_slide": q_context_window_slide,
         # ---- slot 51+ below: rotated out this round (see policy note) ----
         # doc_lang_hits: its outputs are the exact inputs doc_quality_lang
         # re-derives; raw_table_envelope: projection of the same raw table
@@ -2356,8 +2436,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_fingerprints all carry r01–r04 driver passes and rotate out
         # to make room for the round-5 additions that have never had a
         # driver row (corpus_repetition, stratified_sample,
-        # context_window_pack); every demoted query stays mirror-checked
-        # at sf0.01 AND sf0.1.
+        # context_window_pack, context_window_slide); every demoted query
+        # stays mirror-checked at sf0.01 AND sf0.1.
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_exact": q_dedup_exact,
         "doc_quality_lang": q_doc_quality_lang,
         "doc_fingerprints": q_doc_fingerprints,
@@ -2522,6 +2603,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_repetition": _oracle_corpus_repetition(),
         "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
         "context_window_pack": _ORACLE_CONTEXT_WINDOWS,
+        "context_window_slide": _ORACLE_CONTEXT_SLIDE,
         "incremental_corpus_refresh": _oracle_corpus_refresh(),
         "conversation_token_budget": _ORACLE_TOKEN_BUDGET,
         "conversation_bpe_budget": _oracle_bpe_budget(),

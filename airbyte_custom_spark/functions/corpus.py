@@ -191,6 +191,76 @@ def refresh_corpus(
     )
 
 
+def corpus_dup_ids(
+    docs: DataFrame,
+    id_col: str = "conv_id",
+    doc_col: str = "document",
+    threshold: float = 0.9,
+    shingle_k: int = 3,
+    max_shingle_freq: int = 10_000,
+) -> DataFrame:
+    """Ids of near-duplicate documents to DROP — everything but one
+    canonical member per near-dup cluster.  The `q_corpus_dedup`
+    composition (n-gram Jaccard pairs → connected components → keep the
+    cluster minimum) over ASSEMBLED documents with string ids: the
+    component stage shuffles only long scalars, so string ids map through
+    ``xxhash64`` first and the drop set maps back by a semi-join on the
+    distinct-id table (a 64-bit collision — ~n²/2⁶⁵, a handful in 10¹⁰
+    docs — can at worst merge two clusters and drop one extra canonical;
+    it can never corrupt the kept documents).
+
+    Scale shape: candidate generation is the frequency-capped inverted
+    index (never all-pairs); clustering is O(log d) scalar-only rounds;
+    no document text crosses any dedup exchange."""
+    from airbyte_custom_spark.functions.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        docs,
+        id_col=id_col,
+        text_col=doc_col,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        max_shingle_freq=max_shingle_freq,
+    )
+
+    def nid(c: str):
+        return F.xxhash64(F.col(c).cast("string"))
+
+    edges = pairs.select(nid("id_a").alias("id_a"), nid("id_b").alias("id_b"))
+    comp = connected_components(edges)
+    drop_nids = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("_nid")
+    )
+    ids = docs.select(id_col).distinct().withColumn("_nid", nid(id_col))
+    return ids.join(drop_nids, "_nid", "leftsemi").select(id_col)
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    id_col: str = "conv_id",
+    doc_col: str = "document",
+    threshold: float = 0.9,
+    shingle_k: int = 3,
+    max_shingle_freq: int = 10_000,
+) -> DataFrame:
+    """Drop near-duplicate documents, keeping one per cluster: a
+    broadcast left-anti join of the corpus against the (small — it is the
+    duplicates, not the corpus) drop set from ``corpus_dup_ids``, so the
+    corpus itself never shuffles for the dedup."""
+    drop = corpus_dup_ids(
+        docs,
+        id_col=id_col,
+        doc_col=doc_col,
+        threshold=threshold,
+        shingle_k=shingle_k,
+        max_shingle_freq=max_shingle_freq,
+    )
+    return docs.join(F.broadcast(drop), id_col, "left_anti")
+
+
 def decontaminate_corpus(
     docs_df: DataFrame,
     bench_df: DataFrame,

@@ -47,17 +47,58 @@ def pack_context_windows(
     token_col: Column | str,
     max_tokens: int,
     window_col: str = "window_id",
+    stride: int | None = None,
 ) -> DataFrame:
     """Assign each row a ``window_col`` id by cumulative token offset
     within its key group (see module docstring for the rule).  Returns
-    ``df`` with the id column added; all input columns pass through."""
+    ``df`` with the id column added; all input columns pass through.
+
+    ``stride`` (default ``max_tokens`` — non-overlapping) slides the
+    window starts: window ``w`` covers token offsets
+    ``[w*stride, w*stride + max_tokens)``, so with ``stride <
+    max_tokens`` a turn starting at offset ``o`` lands in EVERY window
+    whose span covers ``o`` — the overlapping-context rule pretraining
+    pipelines use so no boundary-adjacent text is seen in only one
+    truncated context.  Each row is then REPLICATED ≈``max_tokens /
+    stride`` times via a map-side ``explode(sequence(lo, hi))`` — the
+    fan-out happens after the one keyed exchange, never through it, and
+    the replication factor is the caller's explicit overlap choice."""
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if stride is None:
+        stride = max_tokens
+    if not 0 < stride <= max_tokens:
+        raise ValueError(
+            f"stride must be in (0, max_tokens], got {stride}"
+        )
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
     before = Window.partitionBy(*key_cols).orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
     cum_before = F.coalesce(F.sum(tok).over(before), F.lit(0))
-    return df.withColumn(
-        window_col, F.floor(cum_before / F.lit(max_tokens)).cast("long")
+    if stride == max_tokens:
+        return df.withColumn(
+            window_col, F.floor(cum_before / F.lit(max_tokens)).cast("long")
+        )
+    # window w covers offsets [w*stride, w*stride + max_tokens); a row at
+    # offset o belongs to w iff (o - max_tokens)/stride < w <= o/stride.
+    # floor() on a DOUBLE quotient in both engines (not integer division,
+    # whose negative-operand semantics differ across engines).  The
+    # cumulative sum materializes in its own projection first — a
+    # generator (explode) cannot host a window expression directly.
+    off = "__pack_cum_before"
+    staged = df.withColumn(off, cum_before)
+    lo = F.greatest(
+        F.lit(0).cast("long"),
+        (
+            F.floor(
+                (F.col(off) - F.lit(max_tokens)).cast("double")
+                / F.lit(stride)
+            )
+            + F.lit(1)
+        ).cast("long"),
+    )
+    hi = F.floor(F.col(off).cast("double") / F.lit(stride)).cast("long")
+    return staged.withColumn(window_col, F.explode(F.sequence(lo, hi))).drop(
+        off
     )

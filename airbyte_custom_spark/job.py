@@ -296,6 +296,15 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
              "tokens instead of whole conversations (adds a window_id "
              "column; gating stays conversation-level)",
     )
+    ce.add_argument(
+        "--dedup-threshold", type=float, default=None,
+        help="drop near-duplicate conversations (word n-gram Jaccard at "
+             "or above this threshold; pairs → connected components → "
+             "keep one per cluster).  Runs on whole-conversation "
+             "documents even when --pack-max-tokens is set.  Full-export "
+             "stage: the incremental refresh covers cross-batch dups via "
+             "the persisted LSH index instead",
+    )
 
     rc = sub.add_parser(
         "refresh-corpus",
@@ -614,6 +623,30 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             sample_rate=args.sample_rate,
             pack_max_tokens=args.pack_max_tokens,
         )
+        deduped = 0
+        if args.dedup_threshold:
+            from airbyte_custom_spark.functions.corpus import corpus_dup_ids
+
+            # dedup decides on WHOLE-conversation documents; when the
+            # export itself is packed, the drop set comes from a second
+            # unpacked assembly and anti-joins the packed output
+            whole = (
+                docs
+                if args.pack_max_tokens is None
+                else assemble_corpus(
+                    t_.read(),
+                    redact=not args.no_redact,
+                    min_turns=args.min_turns,
+                    max_turns=args.max_turns,
+                    min_tokens=args.min_tokens,
+                    sample_rate=args.sample_rate,
+                )
+            )
+            drop = corpus_dup_ids(
+                whole, threshold=args.dedup_threshold
+            ).persist()
+            deduped = drop.count()  # conversations dropped as near-dups
+            docs = docs.join(F.broadcast(drop), "conv_id", "left_anti")
         dropped = 0
         gated = None
         if args.decontaminate:
@@ -637,6 +670,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             "out": args.out,
             "documents": out.count(),
             "total_tokens": out.agg(F.sum("total_tokens")).first()[0],
+            "deduped": deduped,
             "decontaminated": dropped,
             "table_version": t_.version,
         }))

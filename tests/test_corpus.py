@@ -174,3 +174,39 @@ def test_packed_refresh_unions_with_packed_export(spark, tmp_path):
     ref = refresh_corpus(t, int(hi) // 2, pack_max_tokens=32)
     assert ref.schema == base.schema
     assert ref.count() > 0
+
+
+def test_dedup_corpus_keeps_one_per_cluster(spark, tmp_path):
+    """Near-duplicate conversations (identical text under another id)
+    collapse to ONE kept member per cluster; unique conversations all
+    survive; the corpus-side join is a broadcast anti against the drop
+    set (the duplicates, not the corpus)."""
+    from airbyte_custom_spark.functions.corpus import (
+        corpus_dup_ids,
+        dedup_corpus,
+    )
+    from airbyte_custom_spark.plans.inspect import explain_str
+
+    t = _table(spark, tmp_path, "dup")
+    ev = change_events(spark, 2000, n_convs=25, seed=13)
+    clones = ev.withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-dup"))
+    ).withColumn("lsn", F.col("lsn") + F.lit(10_000_000))
+    t.merge(ev.unionByName(clones), batch_id=0)
+
+    docs = assemble_corpus(t.read())
+    base = {r["conv_id"] for r in docs.select("conv_id").collect()}
+    originals = {c for c in base if not c.endswith("-dup")}
+    assert {c + "-dup" for c in originals} <= base  # clones gated in too
+
+    kept_df = dedup_corpus(docs, threshold=0.9)
+    kept = {r["conv_id"] for r in kept_df.select("conv_id").collect()}
+    for c in originals:
+        assert (c in kept) != (c + "-dup" in kept), c  # exactly one survives
+    assert len(kept) == len(originals)
+    drop = corpus_dup_ids(docs, threshold=0.9)
+    assert drop.count() == len(originals)
+    plan = explain_str(
+        docs.join(F.broadcast(drop), "conv_id", "left_anti"), "simple"
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan

@@ -321,3 +321,44 @@ def test_cli_corpus_export_packed_and_sampled(spark, tmp_path, capsys):
         .select("conv_id").collect()
     }
     assert sampled_convs < full_convs
+
+
+def test_cli_corpus_export_dedup(spark, tmp_path, capsys):
+    """`corpus-export --dedup-threshold` drops one member of every planted
+    near-dup pair (and reports the count), composing with --pack-max-tokens
+    where the drop decision still comes from whole-conversation documents."""
+    seg = str(tmp_path / "seg")
+    tbl = str(tmp_path / "tbl")
+    run(capsys, "gen", "--out", seg, "--events", "1500", "--chunks", "1")
+    run(capsys, "init", "--table", tbl, "--buckets", "4")
+    run(capsys, "tail", "--table", tbl, "--source", seg,
+        "--checkpoint", str(tmp_path / "ck"))
+    # plant exact-duplicate conversations under new ids
+    t = LakeTable.load(spark, tbl)
+    clones = (
+        t.read()
+        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("-dup")))
+        .withColumn("op", F.lit("c"))
+        .withColumn("lsn", F.lit(10_000_000).cast("long") + F.col("turn_idx"))
+    )
+    t.merge(clones, batch_id=77)
+
+    out = str(tmp_path / "deduped")
+    ce = run(capsys, "corpus-export", "--table", tbl, "--out", out,
+             "--dedup-threshold", "0.9")
+    got = spark.read.parquet(out)
+    kept = {r["conv_id"] for r in got.select("conv_id").collect()}
+    originals = {c for c in kept | set() if not c.endswith("-dup")}
+    assert ce["deduped"] > 0
+    for c in {k.removesuffix("-dup") for k in kept}:
+        assert (c in kept) != (c + "-dup" in kept), c
+
+    # packed + deduped: window docs survive only for kept conversations
+    pout = str(tmp_path / "deduped_packed")
+    pe = run(capsys, "corpus-export", "--table", tbl, "--out", pout,
+             "--dedup-threshold", "0.9", "--pack-max-tokens", "16")
+    pgot = spark.read.parquet(pout)
+    assert "window_id" in pgot.columns
+    pkept = {r["conv_id"] for r in pgot.select("conv_id").distinct().collect()}
+    assert pkept == kept
+    assert pe["deduped"] == ce["deduped"]
