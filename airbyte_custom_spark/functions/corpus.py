@@ -245,11 +245,21 @@ def dedup_corpus(
     threshold: float = 0.9,
     shingle_k: int = 3,
     max_shingle_freq: int = 10_000,
+    broadcast_threshold_rows: int = 10_000_000,
 ) -> DataFrame:
     """Drop near-duplicate documents, keeping one per cluster: a
-    broadcast left-anti join of the corpus against the (small — it is the
-    duplicates, not the corpus) drop set from ``corpus_dup_ids``, so the
-    corpus itself never shuffles for the dedup."""
+    left-anti join of the corpus against the drop set from
+    ``corpus_dup_ids``.
+
+    The drop set is NOT assumed small: web-corpus dup rates run 30–50%,
+    so at scale it is O(corpus) — the same trap the lake's
+    ``changes_since`` guards against.  The set is persisted, COUNTED,
+    and broadcast only under ``broadcast_threshold_rows`` (ids-only rows
+    — 10M conv_id strings ≈ a few hundred MB, inside executor broadcast
+    budgets); above that the anti join falls back to a key-only shuffle
+    (conv_id scalars on both sides — document text stays map-side either
+    way because the anti join needs only the key column from the probe
+    side's perspective after pushdown)."""
     drop = corpus_dup_ids(
         docs,
         id_col=id_col,
@@ -257,8 +267,17 @@ def dedup_corpus(
         threshold=threshold,
         shingle_k=shingle_k,
         max_shingle_freq=max_shingle_freq,
-    )
-    return docs.join(F.broadcast(drop), id_col, "left_anti")
+    ).persist()
+    try:
+        n_drop = drop.count()
+        right = F.broadcast(drop) if n_drop <= broadcast_threshold_rows else drop
+        # the persist must outlive this frame (the join materializes
+        # lazily downstream); blockManager eviction reclaims it, or the
+        # caller unpersists after writing the result.
+        return docs.join(right, id_col, "left_anti")
+    except Exception:
+        drop.unpersist()
+        raise
 
 
 def decontaminate_corpus(

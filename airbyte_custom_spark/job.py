@@ -646,7 +646,11 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 whole, threshold=args.dedup_threshold
             ).persist()
             deduped = drop.count()  # conversations dropped as near-dups
-            docs = docs.join(F.broadcast(drop), "conv_id", "left_anti")
+            # same guard as functions.corpus.dedup_corpus: the drop set
+            # is O(dup rate × corpus) — broadcast only when measured
+            # small, else a key-only shuffled anti join
+            right = F.broadcast(drop) if deduped <= 10_000_000 else drop
+            docs = docs.join(right, "conv_id", "left_anti")
         dropped = 0
         gated = None
         if args.decontaminate:

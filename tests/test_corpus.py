@@ -210,3 +210,22 @@ def test_dedup_corpus_keeps_one_per_cluster(spark, tmp_path):
         docs.join(F.broadcast(drop), "conv_id", "left_anti"), "simple"
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+    # large-drop-set fallback: with the broadcast budget forced to zero
+    # the anti join must NOT be a forced broadcast (the changes_since
+    # rule — never force-broadcast a set bounded only by the dup rate),
+    # and the kept set is identical either way
+    kept_big = dedup_corpus(docs, threshold=0.9, broadcast_threshold_rows=0)
+    assert {r["conv_id"] for r in kept_big.select("conv_id").collect()} == kept
+    # the final anti join must NOT be force-broadcast above the budget
+    # (AQE picking broadcast from measured sizes is allowed; the hint is
+    # not): the small-set variant carries exactly one more broadcast
+    # hint than the over-budget variant — the gated one
+    kept_small = dedup_corpus(docs, threshold=0.9)
+    hints_small = explain_str(kept_small, "extended").split(
+        "== Optimized"
+    )[0].count("ResolvedHint")
+    hints_big = explain_str(kept_big, "extended").split(
+        "== Optimized"
+    )[0].count("ResolvedHint")
+    assert hints_big == 0 and hints_small > 0, (hints_small, hints_big)
