@@ -992,6 +992,81 @@ WHERE n_turns BETWEEN 2 AND 30 AND total_tokens >= 5
 """
 
 
+def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + reproducible shuffle
+    order (`functions/shuffle.py` — the write stage behind
+    `job.py corpus-export --shuffle-shards`).  Every decision is a pure
+    function of the example id: shard = h31(id) % N (engine-portable
+    hash), within-shard order = md5(id) lexicographic — so the oracle
+    re-derives the COMPLETE permutation bit-for-bit in DuckDB.  The
+    result is one row per shard carrying a position-weighted digest
+    (sum over pos·h31(id) mod 2^31-1): any row in the wrong shard OR the
+    wrong position changes the digest, so value-equality here certifies
+    the full shuffle order, not just membership counts.
+
+    Scale shape: shard/key are zero-exchange codegen'd row expressions;
+    the production write adds exactly one hash exchange on `shard` plus
+    an in-task (spillable) sort — never a global sort.  The digest's
+    per-shard window sort exists only for this compact certificate.
+
+    Reference analog: the reference ends at final-table order and leaves
+    shard/shuffle to trainers (base-typing-deduping final-table
+    contract, DefaultTyperDeduper.java); this is that missing step."""
+    from pyspark.sql.window import Window
+
+    from airbyte_custom_spark.functions.shuffle import shuffled_shards
+    from airbyte_custom_spark.functions.text import P31, h31
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    sh = shuffled_shards(docs, ["doc_id"], 8)
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    )
+    return (
+        sh.withColumn("pos", pos)
+        .withColumn(
+            "term", (F.col("pos") * h31("doc_id")) % F.lit(P31)
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("term").alias("order_digest"),
+            F.min("shuffle_key").alias("first_key"),
+        )
+    )
+
+
+def _oracle_corpus_shards() -> str:
+    from airbyte_custom_spark.functions.text import P31, h31_sql
+
+    return f"""
+WITH ids AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents
+),
+keyed AS (
+  SELECT doc_id,
+         {h31_sql('doc_id')} % 8 AS shard,
+         md5(doc_id) AS shuffle_key
+  FROM ids
+),
+posed AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY shard ORDER BY shuffle_key, doc_id) AS pos
+  FROM keyed
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum((pos * ({h31_sql('doc_id')})) % {P31}) AS BIGINT)
+         AS order_digest,
+       min(shuffle_key) AS first_key
+FROM posed
+GROUP BY shard
+"""
+
+
 def q_corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicate-LINE signals over ASSEMBLED conversations — the
     repetition filter that runs on multi-line transcript documents (the
@@ -2415,7 +2490,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_time_rollup": q_event_time_rollup,
         "raw_table_dedup": q_raw_table_dedup,
         "incremental_cursor_scan": q_incremental_cursor_scan,
-        "full_refresh_scan": q_full_refresh_scan,
         "scd2_history": q_scd2_history,
         "name_normalization": q_name_normalization,
         "validate_pk_counts": q_validate_pk_counts,
@@ -2428,6 +2502,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "context_window_pack": q_context_window_pack,
         "context_window_slide": q_context_window_slide,
+        "corpus_shards": q_corpus_shards,
         # ---- slot 51+ below: rotated out this round (see policy note) ----
         # doc_lang_hits: its outputs are the exact inputs doc_quality_lang
         # re-derives; raw_table_envelope: projection of the same raw table
@@ -2436,8 +2511,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_fingerprints all carry r01–r04 driver passes and rotate out
         # to make room for the round-5 additions that have never had a
         # driver row (corpus_repetition, stratified_sample,
-        # context_window_pack, context_window_slide); every demoted query
-        # stays mirror-checked at sf0.01 AND sf0.1.
+        # context_window_pack, context_window_slide, corpus_shards);
+        # full_refresh_scan (r01–r04 passes, also pytest-covered via the
+        # plan asserts) rotates out for corpus_shards.  Every demoted
+        # query stays mirror-checked at sf0.01 AND sf0.1.
+        "full_refresh_scan": q_full_refresh_scan,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_exact": q_dedup_exact,
         "doc_quality_lang": q_doc_quality_lang,
@@ -2604,6 +2682,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _ORACLE_STRATIFIED_SAMPLE,
         "context_window_pack": _ORACLE_CONTEXT_WINDOWS,
         "context_window_slide": _ORACLE_CONTEXT_SLIDE,
+        "corpus_shards": _oracle_corpus_shards(),
         "incremental_corpus_refresh": _oracle_corpus_refresh(),
         "conversation_token_budget": _ORACLE_TOKEN_BUDGET,
         "conversation_bpe_budget": _oracle_bpe_budget(),

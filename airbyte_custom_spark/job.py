@@ -305,6 +305,14 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
              "stage: the incremental refresh covers cross-batch dups via "
              "the persisted LSH index instead",
     )
+    ce.add_argument(
+        "--shuffle-shards", type=int, default=None,
+        help="write the corpus as this many deterministically shuffled "
+             "shards (shard=h31(id)%%N dirs, rows ordered by md5(id) "
+             "within each — trainers read shard files sequentially and "
+             "the read order is a reproducible global shuffle; size N at "
+             "or above the cluster's core count)",
+    )
 
     rc = sub.add_parser(
         "refresh-corpus",
@@ -666,7 +674,28 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 bench_text_col=args.bench_text_col, k=args.decon_k,
             )
             dropped = before - docs.count()
-        docs.write.mode("overwrite").parquet(args.out)
+        if args.shuffle_shards:
+            from airbyte_custom_spark.functions.shuffle import (
+                shuffled_shards,
+            )
+
+            # packed exports key examples by (conv_id, window_id);
+            # whole-conversation exports by conv_id alone
+            id_cols = (
+                ["conv_id"]
+                if args.pack_max_tokens is None
+                else ["conv_id", "window_id"]
+            )
+            (
+                shuffled_shards(docs, id_cols, args.shuffle_shards)
+                .repartition(args.shuffle_shards, "shard")
+                .sortWithinPartitions("shard", "shuffle_key")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(args.out)
+            )
+        else:
+            docs.write.mode("overwrite").parquet(args.out)
         if gated is not None:
             gated.unpersist()
         out = spark.read.parquet(args.out)
@@ -676,6 +705,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             "total_tokens": out.agg(F.sum("total_tokens")).first()[0],
             "deduped": deduped,
             "decontaminated": dropped,
+            "shards": args.shuffle_shards or 0,
             "table_version": t_.version,
         }))
     elif args.cmd == "refresh-corpus":

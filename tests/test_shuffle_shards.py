@@ -1,0 +1,154 @@
+"""Deterministic corpus shuffle + sharding (`functions/shuffle.py` and
+the `corpus-export --shuffle-shards` CLI): shard assignment and
+within-shard order must be pure functions of the example id — stable
+across input partitionings and re-exports — and the written shard files
+must actually carry the shuffle order."""
+
+import json
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from airbyte_custom_spark.functions.shuffle import (
+    shard_assign,
+    shuffled_shards,
+)
+from airbyte_custom_spark.job import main
+from airbyte_custom_spark.plans.inspect import exchange_count, explain_str
+
+
+def run(capsys, *argv):
+    rc = main(list(argv), stop_session=False)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    return json.loads(out[-1]) if out and out[-1].startswith("{") else None
+
+
+def _docs(spark, n=500):
+    return spark.range(n).select(
+        F.concat(F.lit("conv-"), F.col("id").cast("string")).alias("conv_id"),
+        (F.col("id") % 7).cast("int").alias("n_turns"),
+    )
+
+
+def test_assignment_is_partitioning_independent(spark):
+    """shard and shuffle_key depend only on the id: the same rows through
+    a different input partitioning (and a different row order) get the
+    identical assignment — the property that makes an incremental
+    refresh land its rows exactly where a full re-export would."""
+    a = shuffled_shards(_docs(spark), ["conv_id"], 8)
+    b = shuffled_shards(
+        _docs(spark).repartition(13).sortWithinPartitions("n_turns"),
+        ["conv_id"],
+        8,
+    )
+    rows_a = {r["conv_id"]: (r["shard"], r["shuffle_key"]) for r in a.collect()}
+    rows_b = {r["conv_id"]: (r["shard"], r["shuffle_key"]) for r in b.collect()}
+    assert rows_a == rows_b
+    assert all(0 <= s < 8 for s, _ in rows_a.values())
+    # not all in one shard, and shard ⊥ shuffle_key (different hashes):
+    # every shard is hit at n=500
+    assert len({s for s, _ in rows_a.values()}) == 8
+
+
+def test_shard_assign_rejects_nonpositive(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        shard_assign(["conv_id"], 0)
+
+
+def test_write_shape_one_exchange_no_global_sort(spark):
+    """The production write plan: exactly ONE hash exchange (on shard)
+    and an in-task sort — rangepartitioning (a global sort) never
+    appears, and the assignment columns add no exchange of their own."""
+    out = (
+        shuffled_shards(_docs(spark), ["conv_id"], 4)
+        .repartition(4, "shard")
+        .sortWithinPartitions("shard", "shuffle_key")
+    )
+    plan = explain_str(out, "simple")
+    assert exchange_count(out) == 1, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_cli_sharded_export_roundtrip(spark, tmp_path, capsys):
+    """`corpus-export --shuffle-shards N` writes shard=K directories
+    whose union equals the unsharded export, with every written file
+    internally ordered by shuffle_key (the read order IS the shuffle),
+    and a re-export reproduces byte-identical assignments."""
+    seg = str(tmp_path / "seg")
+    tbl = str(tmp_path / "tbl")
+    run(capsys, "gen", "--out", seg, "--events", "3000", "--chunks", "1")
+    run(capsys, "init", "--table", tbl, "--buckets", "4")
+    run(capsys, "tail", "--table", tbl, "--source", seg,
+        "--checkpoint", str(tmp_path / "ck"))
+
+    flat = str(tmp_path / "flat")
+    run(capsys, "corpus-export", "--table", tbl, "--out", flat)
+    shr = str(tmp_path / "sharded")
+    ce = run(capsys, "corpus-export", "--table", tbl, "--out", shr,
+             "--shuffle-shards", "4")
+    assert ce["shards"] == 4
+
+    got = spark.read.parquet(shr)
+    want = spark.read.parquet(flat)
+    assert set(got.columns) == set(want.columns) | {"shard", "shuffle_key"}
+    cols = sorted(want.columns)
+    assert sorted(got.select(*cols).collect()) == sorted(
+        want.select(*cols).collect()
+    )
+    # shard dirs present and within-file order == shuffle_key order
+    import pathlib
+
+    files = sorted(pathlib.Path(shr).glob("shard=*/*.parquet"))
+    assert {p.parent.name for p in files} == {f"shard={i}" for i in range(4)}
+    for p in files:
+        keys = pq.read_table(p, columns=["shuffle_key"])["shuffle_key"]
+        keys = keys.to_pylist()
+        assert keys == sorted(keys), p
+
+    # determinism across re-exports: same (id → shard, key) everywhere
+    shr2 = str(tmp_path / "sharded2")
+    run(capsys, "corpus-export", "--table", tbl, "--out", shr2,
+        "--shuffle-shards", "4")
+    a = {
+        r["conv_id"]: (r["shard"], r["shuffle_key"])
+        for r in got.select("conv_id", "shard", "shuffle_key").collect()
+    }
+    b = {
+        r["conv_id"]: (r["shard"], r["shuffle_key"])
+        for r in spark.read.parquet(shr2)
+        .select("conv_id", "shard", "shuffle_key")
+        .collect()
+    }
+    assert a == b
+
+
+def test_cli_sharded_packed_export_keys_windows(spark, tmp_path, capsys):
+    """Packed exports shard by (conv_id, window_id): two windows of one
+    conversation may land in DIFFERENT shards — the shuffle treats each
+    context window as an independent example."""
+    seg = str(tmp_path / "seg")
+    tbl = str(tmp_path / "tbl")
+    run(capsys, "gen", "--out", seg, "--events", "3000", "--chunks", "1")
+    run(capsys, "init", "--table", tbl, "--buckets", "4")
+    run(capsys, "tail", "--table", tbl, "--source", seg,
+        "--checkpoint", str(tmp_path / "ck"))
+
+    shr = str(tmp_path / "packed")
+    run(capsys, "corpus-export", "--table", tbl, "--out", shr,
+        "--pack-max-tokens", "20", "--shuffle-shards", "4")
+    got = spark.read.parquet(shr)
+    assert "window_id" in got.columns
+    multi = (
+        got.groupBy("conv_id")
+        .agg(
+            F.countDistinct("window_id").alias("w"),
+            F.countDistinct("shard").alias("s"),
+        )
+        .filter("w > 1 AND s > 1")
+        .count()
+    )
+    assert multi > 0  # windows really scatter across shards
