@@ -43,6 +43,29 @@ from airbyte_custom_spark.sources.generator import change_events, write_event_ch
 from airbyte_custom_spark.streaming.pipeline import CdcIngestJob, backfill
 
 
+def _write_corpus(docs, out: str, shuffle_shards: int | None,
+                  *, packed: bool) -> None:
+    """Corpus write for `corpus-export` / `refresh-corpus`: flat parquet,
+    or — with shuffle_shards — the deterministic shard=K layout
+    (`functions/shuffle.py`: shard/order are pure functions of the example
+    id, so a refresh lands each example exactly where a full re-export
+    would).  Packed exports key examples by (conv_id, window_id)."""
+    if shuffle_shards:
+        from airbyte_custom_spark.functions.shuffle import shuffled_shards
+
+        id_cols = ["conv_id", "window_id"] if packed else ["conv_id"]
+        (
+            shuffled_shards(docs, id_cols, shuffle_shards)
+            .repartition(shuffle_shards, "shard")
+            .sortWithinPartitions("shard", "shuffle_key")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(out)
+        )
+    else:
+        docs.write.mode("overwrite").parquet(out)
+
+
 def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     ap = argparse.ArgumentParser(prog="airbyte_custom_spark.job")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -334,6 +357,14 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     rc.add_argument("--decon-k", type=int, default=3)
     rc.add_argument("--sample-rate", type=float, default=None)
     rc.add_argument("--pack-max-tokens", type=int, default=None)
+    rc.add_argument(
+        "--shuffle-shards", type=int, default=None,
+        help="annotate + lay out the refreshed documents in the same "
+             "deterministic shard/order scheme as the base export (the "
+             "assignment is a pure function of the example id, so each "
+             "refreshed example lands in exactly the shard and position "
+             "a full re-export would give it)",
+    )
 
     args = ap.parse_args(argv)
     spark = get_spark(app_name=f"acs-{args.cmd}")
@@ -674,28 +705,8 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 bench_text_col=args.bench_text_col, k=args.decon_k,
             )
             dropped = before - docs.count()
-        if args.shuffle_shards:
-            from airbyte_custom_spark.functions.shuffle import (
-                shuffled_shards,
-            )
-
-            # packed exports key examples by (conv_id, window_id);
-            # whole-conversation exports by conv_id alone
-            id_cols = (
-                ["conv_id"]
-                if args.pack_max_tokens is None
-                else ["conv_id", "window_id"]
-            )
-            (
-                shuffled_shards(docs, id_cols, args.shuffle_shards)
-                .repartition(args.shuffle_shards, "shard")
-                .sortWithinPartitions("shard", "shuffle_key")
-                .write.mode("overwrite")
-                .partitionBy("shard")
-                .parquet(args.out)
-            )
-        else:
-            docs.write.mode("overwrite").parquet(args.out)
+        _write_corpus(docs, args.out, args.shuffle_shards,
+                      packed=args.pack_max_tokens is not None)
         if gated is not None:
             gated.unpersist()
         out = spark.read.parquet(args.out)
@@ -731,11 +742,13 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
                 docs, spark.read.parquet(args.decontaminate),
                 bench_text_col=args.bench_text_col, k=args.decon_k,
             )
-        docs.write.mode("overwrite").parquet(args.out)
+        _write_corpus(docs, args.out, args.shuffle_shards,
+                      packed=args.pack_max_tokens is not None)
         print(json.dumps({
             "out": args.out,
             "documents": spark.read.parquet(args.out).count(),
             "cursor": args.cursor,
+            "shards": args.shuffle_shards or 0,
             "table_version": t_.version,
         }))
     if stop_session:

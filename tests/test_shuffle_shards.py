@@ -126,6 +126,41 @@ def test_cli_sharded_export_roundtrip(spark, tmp_path, capsys):
     assert a == b
 
 
+def test_cli_sharded_refresh_matches_base_placement(spark, tmp_path, capsys):
+    """`refresh-corpus --shuffle-shards N`: every refreshed example gets
+    the IDENTICAL shard + shuffle_key the base sharded export gave it —
+    the property that lets a consumer merge a refresh into an existing
+    sharded corpus without re-shuffling anything."""
+    from airbyte_custom_spark.lake.table import LakeTable
+
+    seg = str(tmp_path / "seg")
+    tbl = str(tmp_path / "tbl")
+    run(capsys, "gen", "--out", seg, "--events", "3000", "--chunks", "1")
+    run(capsys, "init", "--table", tbl, "--buckets", "4")
+    run(capsys, "tail", "--table", tbl, "--source", seg,
+        "--checkpoint", str(tmp_path / "ck"))
+
+    base = str(tmp_path / "base")
+    run(capsys, "corpus-export", "--table", tbl, "--out", base,
+        "--shuffle-shards", "4")
+    t = LakeTable.load(spark, tbl)
+    hi = t.read(include_meta=True).agg(F.max("_lsn")).first()[0]
+    rout = str(tmp_path / "refresh")
+    rj = run(capsys, "refresh-corpus", "--table", tbl, "--out", rout,
+             "--cursor", str(int(hi) // 2), "--shuffle-shards", "4")
+    assert rj["shards"] == 4
+    got_r = spark.read.parquet(rout)
+    assert got_r.count() > 0
+    placement = {
+        r["conv_id"]: (r["shard"], r["shuffle_key"])
+        for r in spark.read.parquet(base)
+        .select("conv_id", "shard", "shuffle_key")
+        .collect()
+    }
+    for r in got_r.select("conv_id", "shard", "shuffle_key").collect():
+        assert placement[r["conv_id"]] == (r["shard"], r["shuffle_key"])
+
+
 def test_cli_sharded_packed_export_keys_windows(spark, tmp_path, capsys):
     """Packed exports shard by (conv_id, window_id): two windows of one
     conversation may land in DIFFERENT shards — the shuffle treats each
