@@ -366,6 +366,27 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
              "a full re-export would give it)",
     )
 
+    ms = sub.add_parser(
+        "merge-shards",
+        help="fold a sharded refresh-corpus delta into an existing "
+             "sharded corpus IN PLACE: rewrites only the shard=K dirs "
+             "holding touched conversations (O(touched shards), never "
+             "O(corpus)); after the merge the base equals a full "
+             "re-export at the table's current version",
+    )
+    ms.add_argument("--base", required=True,
+                    help="existing corpus-export --shuffle-shards dir")
+    ms.add_argument("--delta", required=True,
+                    help="refresh-corpus --shuffle-shards output")
+    ms.add_argument("--table", required=True)
+    ms.add_argument(
+        "--cursor", type=int, required=True,
+        help="the LSN cursor the delta was refreshed from — the merge "
+             "derives the touched-conversation set from read_since at "
+             "this cursor, so conversations that dropped below the "
+             "quality gate are REMOVED, not just upserted",
+    )
+
     args = ap.parse_args(argv)
     spark = get_spark(app_name=f"acs-{args.cmd}")
 
@@ -749,6 +770,58 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             "documents": spark.read.parquet(args.out).count(),
             "cursor": args.cursor,
             "shards": args.shuffle_shards or 0,
+            "table_version": t_.version,
+        }))
+    elif args.cmd == "merge-shards":
+        import os
+        import shutil
+
+        t_ = LakeTable.load(spark, args.table)
+        base = spark.read.parquet(args.base)
+        delta = spark.read.parquet(args.delta)
+        # touched convs come from the TABLE, not the delta: a conversation
+        # that fell below the quality gate after the refresh has no delta
+        # row but must still leave the corpus
+        touched = t_.read_since(args.cursor).select("conv_id").distinct()
+        # shards to rewrite = shards currently holding touched convs
+        # (column-pruned conv_id+shard scan of the base — the only base
+        # read outside the rewrite set) ∪ shards the delta lands in;
+        # bounded by n_shards, so the collect is metadata-sized
+        shards = sorted(
+            r[0]
+            for r in base.join(touched, "conv_id", "leftsemi")
+            .select("shard")
+            .union(delta.select("shard"))
+            .distinct()
+            .collect()
+        )
+        keep = base.filter(F.col("shard").isin(shards)).join(
+            touched, "conv_id", "left_anti"
+        )
+        merged = keep.unionByName(delta)
+        staging = args.base.rstrip("/") + ".staging"
+        (
+            merged.repartition(max(len(shards), 1), "shard")
+            .sortWithinPartitions("shard", "shuffle_key")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(staging)
+        )
+        # swap ONLY the rewritten shard dirs — untouched shards keep
+        # their files byte-identical (a dir move, not a data rewrite)
+        for k in shards:
+            old = os.path.join(args.base, f"shard={k}")
+            new = os.path.join(staging, f"shard={k}")
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            if os.path.isdir(new):
+                shutil.move(new, old)
+        shutil.rmtree(staging, ignore_errors=True)
+        print(json.dumps({
+            "base": args.base,
+            "rewritten_shards": len(shards),
+            "delta_documents": delta.count(),
+            "cursor": args.cursor,
             "table_version": t_.version,
         }))
     if stop_session:

@@ -161,6 +161,87 @@ def test_cli_sharded_refresh_matches_base_placement(spark, tmp_path, capsys):
         assert placement[r["conv_id"]] == (r["shard"], r["shuffle_key"])
 
 
+def test_cli_merge_shards_equals_full_reexport(spark, tmp_path, capsys):
+    """`merge-shards` folds a sharded refresh into the base corpus in
+    place: after the merge, the base dir equals a full re-export at the
+    new table version — same rows, same shard, same within-file order —
+    and only the touched shard dirs were rewritten (untouched shard
+    files keep their mtime: a real O(touched shards) merge, not a
+    disguised full rewrite)."""
+    import pathlib
+
+    from airbyte_custom_spark.lake.table import LakeTable
+
+    seg = str(tmp_path / "seg")
+    tbl = str(tmp_path / "tbl")
+    # two contiguous-LSN binlog segments; phase 1 tails only the first
+    run(capsys, "gen", "--out", seg, "--events", "4000", "--chunks", "2")
+    run(capsys, "init", "--table", tbl, "--buckets", "4")
+    run(capsys, "tail", "--table", tbl, "--source", f"{seg}/chunk=0",
+        "--checkpoint", str(tmp_path / "ck1"), "--query-id", "q1")
+
+    base = str(tmp_path / "base")
+    run(capsys, "corpus-export", "--table", tbl, "--out", base,
+        "--shuffle-shards", "8")
+    t = LakeTable.load(spark, tbl)
+    cursor = int(t.read(include_meta=True).agg(F.max("_lsn")).first()[0])
+
+    # phase 2: the second segment arrives
+    run(capsys, "tail", "--table", tbl, "--source", f"{seg}/chunk=1",
+        "--checkpoint", str(tmp_path / "ck2"), "--query-id", "q2")
+    delta = str(tmp_path / "delta")
+    run(capsys, "refresh-corpus", "--table", tbl, "--out", delta,
+        "--cursor", str(cursor), "--shuffle-shards", "8")
+
+    pre = {
+        p.parent.name: (str(p), p.stat().st_mtime_ns)
+        for p in pathlib.Path(base).glob("shard=*/*.parquet")
+    }
+    conv_shard = {
+        r["conv_id"]: r["shard"]
+        for r in spark.read.parquet(base).select("conv_id", "shard")
+        .collect()
+    }
+    mj = run(capsys, "merge-shards", "--base", base, "--delta", delta,
+             "--table", tbl, "--cursor", str(cursor))
+    assert 0 < mj["rewritten_shards"] <= 8
+
+    full = str(tmp_path / "full")
+    run(capsys, "corpus-export", "--table", tbl, "--out", full,
+        "--shuffle-shards", "8")
+
+    def by_shard(path):
+        out = {}
+        for p in sorted(pathlib.Path(path).glob("shard=*/*.parquet")):
+            tb = pq.read_table(p, columns=["conv_id", "shuffle_key",
+                                           "document"])
+            out.setdefault(p.parent.name, []).extend(
+                zip(*(tb[c].to_pylist() for c in tb.column_names))
+            )
+        return out
+
+    got, want = by_shard(base), by_shard(full)
+    assert got == want  # rows, shard placement, AND order all equal
+
+    # the expected rewrite set, derived independently: shards holding a
+    # touched conv before the merge ∪ shards the delta landed in
+    touched = {
+        r[0] for r in t.read_since(cursor).select("conv_id").distinct()
+        .collect()
+    }
+    expect = {
+        f"shard={s}" for c, s in conv_shard.items() if c in touched
+    } | {
+        p.parent.name
+        for p in pathlib.Path(delta).glob("shard=*/*.parquet")
+    }
+    assert mj["rewritten_shards"] == len(expect)
+    untouched = set(pre) - expect
+    for name in untouched:  # untouched shard files were never rewritten
+        path, mtime = pre[name]
+        assert pathlib.Path(path).stat().st_mtime_ns == mtime, name
+
+
 def test_cli_sharded_packed_export_keys_windows(spark, tmp_path, capsys):
     """Packed exports shard by (conv_id, window_id): two windows of one
     conversation may land in DIFFERENT shards — the shuffle treats each
