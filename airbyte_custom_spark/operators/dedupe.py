@@ -112,10 +112,29 @@ def latest_by_reduce(
 ) -> DataFrame:
     """One row per key = the row with the greatest (order_col, is_delete).
 
-    groupBy + max_by ⇒ map-side partial aggregation ⇒ hot keys don't
-    serialize a shuffle partition.  Output columns identical to input.
-    The struct buffer plans as a SortAggregate; keys are hash-prefixed so
-    both its sorts compare a long first (see module docstring)."""
+    Round 6: now the SAME physical formulation as ``latest_per_key``
+    (WindowGroupLimit map-side top-1 before the exchange).  The historical
+    groupBy + max_by form (kept below as ``latest_by_maxby``) plans as a
+    SortAggregate whose struct buffer pays TWO in-partition sorts; the
+    window-limit form collapses map-side just as well (at most one row
+    per key crosses the exchange — same hot-key defense) and measured
+    2.6× faster at 10M rows (bench_extra: 11.35s vs 4.42s, local[32]).
+    Identical output: greatest (order_col, is_delete) per key, columns
+    unchanged; both forms are arbitrary-but-single on exact ties."""
+    return latest_per_key(df, keys, order_col=order_col, delete_col=delete_col)
+
+
+def latest_by_maxby(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str = "lsn",
+    delete_col: str | None = None,
+) -> DataFrame:
+    """The algebraic-aggregate formulation (groupBy + max_by): map-side
+    partial aggregation via an AggregateFunction buffer — use when an
+    algebraic aggregate is specifically required (e.g. inside another
+    aggregation); otherwise ``latest_per_key``/``latest_by_reduce`` plan
+    strictly faster (see latest_by_reduce docstring)."""
     cols = df.columns
     payload = F.struct(*[F.col(c) for c in cols])
     reduced = (

@@ -130,6 +130,39 @@ def json_envelope(events_df: DataFrame) -> DataFrame:
     )
 
 
+_IDENTITY_PROBES: dict[int, list[int]] = {}
+
+
+def _identity_probes(spark: SparkSession, n: int) -> list[int]:
+    """Per target partition p ∈ [0, n): a small int probe with
+    ``pmod(hash(probe), n) == p`` under Spark's own Murmur3 (seed 42).
+
+    ``repartition(n, key)`` hash-partitions, and murmur3 over a handful of
+    distinct key values collides: measured, 32 chunk ids land on only 18
+    of 32 reducers (max 3 chunks on one task) — a 3× straggler tail on
+    the write stage with 14 idle cores (guide §2.5: synthetic partition
+    keys with too few distinct values).  Routing each chunk through its
+    probe makes the hash partitioner an IDENTITY map — one chunk per
+    task, no skew.  Probes come from a tiny Spark job (so Python never
+    re-implements Murmur3) and are memoized per process — the hash is
+    seed-fixed, so the mapping is a constant."""
+    if n in _IDENTITY_PROBES:
+        return _IDENTITY_PROBES[n]
+    probes: dict[int, int] = {}
+    base = 0
+    while len(probes) < n:
+        rows = spark.range(base, base + 64 * n).select(
+            F.col("id").cast("int").alias("i"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"),
+        ).collect()
+        for r in rows:
+            probes.setdefault(r["p"], r["i"])
+        base += 64 * n
+    out = [probes[p] for p in range(n)]
+    _IDENTITY_PROBES[n] = out
+    return out
+
+
 def write_event_chunks(
     df: DataFrame, path: str, n_chunks: int, lsn_col: str = "lsn"
 ) -> list[str]:
@@ -137,8 +170,11 @@ def write_event_chunks(
     segments under ``path`` — the on-disk analog of binlog segments, and the
     input the Structured-Streaming file tail (sources/binlog.py) consumes.
 
-    One pass: range-partition on lsn into n_chunks, write once with a
-    chunk directory column (no per-chunk job).  Returns chunk dirs in order.
+    One pass: partition on the chunk id into n_chunks, write once with a
+    chunk directory column (no per-chunk job).  The chunk→reducer map is
+    made an IDENTITY via murmur3 probes (see ``_identity_probes`` — a bare
+    ``repartition(n, "chunk")`` leaves ~45% of reducers empty and stacks
+    up to 3 chunks on one straggler task).  Returns chunk dirs in order.
     """
     bounds = df.selectExpr(f"min({lsn_col}) lo", f"max({lsn_col}) hi").first()
     lo, hi = bounds["lo"], bounds["hi"]
@@ -147,10 +183,16 @@ def write_event_chunks(
         F.lit(n_chunks - 1),
         ((F.col(lsn_col) - F.lit(int(lo))) * n_chunks / span).cast("int"),
     )
+    probes = _identity_probes(df.sparkSession, n_chunks)
+    probe = F.element_at(
+        F.array(*[F.lit(p).cast("int") for p in probes]), chunk + 1
+    )
     # NB: partition dir must not start with "_" — Hadoop listing hides those.
     (
         df.withColumn("chunk", chunk)
-        .repartition(n_chunks, "chunk")
+        .withColumn("_probe", probe)
+        .repartition(n_chunks, "_probe")
+        .drop("_probe")
         .sortWithinPartitions(lsn_col)
         .write.mode("overwrite")
         .partitionBy("chunk")

@@ -3,6 +3,7 @@
 from pyspark.sql import functions as F
 
 from airbyte_custom_spark.operators.dedupe import (
+    latest_by_maxby,
     latest_by_reduce,
     latest_by_window,
     salted_latest,
@@ -23,7 +24,8 @@ def test_reduce_window_salted_agree(spark):
     a = _as_set(latest_by_reduce(events, KEYS))
     b = _as_set(latest_by_window(events, KEYS))
     c = _as_set(salted_latest(events, KEYS, salt_buckets=8))
-    assert a == b == c
+    d = _as_set(latest_by_maxby(events, KEYS))
+    assert a == b == c == d
     assert len(a) == events.select(*KEYS).distinct().count()
 
 
