@@ -57,7 +57,11 @@ def _write_corpus(docs, out: str, shuffle_shards: int | None,
         (
             shuffled_shards(docs, id_cols, shuffle_shards)
             .repartition(shuffle_shards, "shard")
-            .sortWithinPartitions("shard", "shuffle_key")
+            # id tiebreak after shuffle_key: the corpus_shards certificate
+            # and its DuckDB oracle order by (shuffle_key, id) — without
+            # it an md5 collision would leave the written file order
+            # nondeterministic vs the certified permutation
+            .sortWithinPartitions("shard", "shuffle_key", *id_cols)
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(out)
@@ -775,10 +779,46 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     elif args.cmd == "merge-shards":
         import os
         import shutil
+        from urllib.parse import urlparse
+
+        # the in-place swap below uses os/shutil renames, which only see
+        # the LOCAL filesystem: on s3a://, hdfs://, ... os.path.isdir()
+        # is always False, so the loop would silently do nothing while
+        # still printing a success JSON — reject loudly instead (use a
+        # Hadoop-FileSystem-rename port of the swap for object stores)
+        if urlparse(args.base).scheme not in ("", "file"):
+            raise ValueError(
+                f"merge-shards swaps shard dirs with local renames; base "
+                f"{args.base!r} is not a local path — refusing (the base "
+                "corpus would be left stale while the command reports "
+                "success)"
+            )
+        # recover an interrupted previous swap BEFORE reading the base:
+        # shard=K.old is the pre-swap data (the swap renames aside first,
+        # moves the staged dir in second, deletes asides last) — if the
+        # staged dir never landed, restore the aside; if it did, the
+        # aside is a leftover, drop it.  After recovery the base is a
+        # consistent corpus and a re-run converges.
+        for e in sorted(os.listdir(args.base)):
+            if e.startswith("shard=") and e.endswith(".old"):
+                aside = os.path.join(args.base, e)
+                target = os.path.join(args.base, e[: -len(".old")])
+                if os.path.isdir(target):
+                    shutil.rmtree(aside)
+                else:
+                    os.rename(aside, target)
 
         t_ = LakeTable.load(spark, args.table)
         base = spark.read.parquet(args.base)
-        delta = spark.read.parquet(args.delta)
+        try:
+            delta = spark.read.parquet(args.delta)
+            delta.schema  # force analysis
+        except Exception:
+            # a delete-only refresh writes an EMPTY partitioned dir
+            # (just _SUCCESS) — schema inference fails, but the removal
+            # path below must still run so gate-dropped conversations
+            # leave the corpus; substitute an empty delta
+            delta = spark.createDataFrame([], base.schema)
         # touched convs come from the TABLE, not the delta: a conversation
         # that fell below the quality gate after the refresh has no delta
         # row but must still leave the corpus
@@ -800,22 +840,43 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         )
         merged = keep.unionByName(delta)
         staging = args.base.rstrip("/") + ".staging"
+        id_cols = ["conv_id"] + (
+            ["window_id"] if "window_id" in merged.columns else []
+        )
         (
             merged.repartition(max(len(shards), 1), "shard")
-            .sortWithinPartitions("shard", "shuffle_key")
+            # same (shuffle_key, id) tiebreak as _write_corpus, so the
+            # merged base stays byte-order-identical to a full re-export
+            # even on an md5 collision
+            .sortWithinPartitions("shard", "shuffle_key", *id_cols)
             .write.mode("overwrite")
             .partitionBy("shard")
             .parquet(staging)
         )
         # swap ONLY the rewritten shard dirs — untouched shards keep
-        # their files byte-identical (a dir move, not a data rewrite)
+        # their files byte-identical (a dir move, not a data rewrite).
+        # Crash-safe ordering: rename every old dir ASIDE first (atomic
+        # dir rename — pre-swap data is never deleted before its
+        # replacement is in place), then move the staged dirs in, and
+        # delete the asides only after every move landed; the recovery
+        # pass at command start makes a re-run after a crash at any point
+        # converge.  A shard in the rewrite set with NO staged dir is a
+        # legitimately emptied shard (every conv dropped), not an error —
+        # the staging write itself is local (guarded above) and complete
+        # (mode=overwrite finished).
+        asides: list[str] = []
+        for k in shards:
+            old = os.path.join(args.base, f"shard={k}")
+            if os.path.isdir(old):
+                os.rename(old, old + ".old")
+                asides.append(old + ".old")
         for k in shards:
             old = os.path.join(args.base, f"shard={k}")
             new = os.path.join(staging, f"shard={k}")
-            if os.path.isdir(old):
-                shutil.rmtree(old)
             if os.path.isdir(new):
                 shutil.move(new, old)
+        for a in asides:
+            shutil.rmtree(a)
         shutil.rmtree(staging, ignore_errors=True)
         print(json.dumps({
             "base": args.base,

@@ -241,6 +241,32 @@ def test_cli_merge_shards_equals_full_reexport(spark, tmp_path, capsys):
         path, mtime = pre[name]
         assert pathlib.Path(path).stat().st_mtime_ns == mtime, name
 
+    # --- crash-safety of the swap (round-6 ADVICE fix): simulate both
+    # interrupted states the aside-move protocol can leave behind, then
+    # re-run merge-shards — it must recover and converge to the same
+    # full re-export (idempotent re-apply of an already-applied delta).
+    shard_dirs = sorted(pathlib.Path(base).glob("shard=*"))
+    # state A: aside renamed, staged dir never landed (crash mid-swap)
+    a = shard_dirs[0]
+    a.rename(str(a) + ".old")
+    # state B: staged dir landed, aside left behind (crash before cleanup)
+    b = shard_dirs[1]
+    import shutil as _sh
+
+    _sh.copytree(b, str(b) + ".old")
+    mj2 = run(capsys, "merge-shards", "--base", base, "--delta", delta,
+              "--table", tbl, "--cursor", str(cursor))
+    assert mj2["rewritten_shards"] == mj["rewritten_shards"]
+    assert not list(pathlib.Path(base).glob("*.old"))
+    assert by_shard(base) == want  # recovered AND converged
+
+    # non-local base paths must be rejected loudly, not silently no-op
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="local"):
+        run(capsys, "merge-shards", "--base", "s3a://bucket/corpus",
+            "--delta", delta, "--table", tbl, "--cursor", str(cursor))
+
 
 def test_cli_sharded_packed_export_keys_windows(spark, tmp_path, capsys):
     """Packed exports shard by (conv_id, window_id): two windows of one
