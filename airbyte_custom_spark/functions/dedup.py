@@ -454,35 +454,43 @@ def simhash48(text_col: Column | str, seed: int = 7) -> Column:
     signature bit i is the majority vote over the token multiset.  Every
     operation is engine-portable integer arithmetic, so the DuckDB oracle
     computes identical signatures (h31 + simhash_params are shared)."""
-    from airbyte_custom_spark.functions.text import h31
+    from airbyte_custom_spark.functions.text import h31, let
 
-    th = F.transform(tokens(text_col), lambda t: h31(F.lower(t)))
     a_consts, b_consts = simhash_params(seed=seed)
     a_lit = F.lit([*map(int, a_consts)]).cast("array<long>")
     b_lit = F.lit([*map(int, b_consts)]).cast("array<long>")
-    n = F.size(th)
     zero = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
-    votes = F.aggregate(
-        th,
-        zero,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.zip_with(
-                a_lit, b_lit, lambda a, b: ((a * h + b) % F.lit(_MERSENNE)) % F.lit(2)
-            ),
-            lambda x, y: x + y,
-        ),
-    )
     powers = F.lit([1 << i for i in range(SIMHASH_BITS)])
-    return F.aggregate(
-        F.zip_with(
-            votes,
-            powers,
-            lambda v, p: F.when(v * 2 > n, p).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+
+    def body(th: F.Column) -> F.Column:
+        # th is LET-BOUND (text.let): the majority-vote lambda below
+        # references n = size(th) per bit — captured as a subtree it
+        # would re-tokenize and re-hash the whole document once per
+        # signature bit (48×; measured 135s → 11.2s on sf0.1 docs)
+        n = F.size(th)
+        votes = F.aggregate(
+            th,
+            zero,
+            lambda acc, h: F.zip_with(
+                acc,
+                F.zip_with(
+                    a_lit, b_lit,
+                    lambda a, b: ((a * h + b) % F.lit(_MERSENNE)) % F.lit(2),
+                ),
+                lambda x, y: x + y,
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(
+                votes,
+                powers,
+                lambda v, p: F.when(v * 2 > n, p).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return let(F.transform(tokens(text_col), lambda t: h31(F.lower(t))), body)
 
 
 def simhash_near_dups(

@@ -26,6 +26,23 @@ STOPWORDS = {
 }
 
 
+def let(value: Column, body) -> Column:
+    """Let-bind a subexpression INSIDE one Column expression: evaluate
+    ``value`` once per row and pass it to ``body`` as a lambda variable.
+
+    Higher-order array lambdas (transform/aggregate/filter) re-evaluate
+    every captured subtree PER ELEMENT — ``transform(sequence(0, n), i ->
+    slice(tokens(text), i, k))`` re-tokenizes the whole document for each
+    of its n shingles, turning linear map work quadratic (and a fold that
+    references ``size(big_expr)`` re-computes big_expr per fold step).
+    Routing the invariant through a 1-element array makes it a bound
+    variable instead: evaluated once, referenced many times.  Round-6
+    measurements on sf0.1 (5000 docs): doc_fingerprints 347s → 6.7s,
+    dedup_simhash 135s → 11.2s, dedup_minhash_lsh 20.3s → 9.6s,
+    dedup_ngram_jaccard_capped 11.7s → 3.5s — identical outputs."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens, empties removed."""
     c = F.col(col) if isinstance(col, str) else col
@@ -186,10 +203,16 @@ def h31(col: Column | str) -> Column:
     bit-for-bit parity claim true on arbitrary text."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, r"[\x{10000}-\x{10FFFF}]", "")
+    # fold over split(c, "") — one character per array element — instead
+    # of indexing with substr(i, 1): substr must scan to codepoint i on
+    # a UTF8String, making the positional fold O(len²) per value; the
+    # split form is O(len) and bit-identical (round-6: 12.5× on ~300-char
+    # strings, 0 mismatches over 20k random unicode samples; ascii() of a
+    # one-char element ≡ ascii() of the one-char substr).
     fold = F.aggregate(
-        F.sequence(F.lit(1), F.length(c)),
+        F.split(c, ""),
         F.lit(0).cast("long"),
-        lambda acc, i: (acc * 131 + F.ascii(c.substr(i, F.lit(1)))) % F.lit(P31),
+        lambda acc, ch: (acc * 131 + F.ascii(ch)) % F.lit(P31),
     )
     return F.when(F.length(c) > 0, fold).otherwise(F.lit(0).cast("long"))
 
@@ -212,15 +235,20 @@ def word_shingle_seq(col: Column | str, k: int = 3) -> Column:
     winnowing input; classic winnowing slides over the POSITIONAL k-gram
     stream, and order-preservation is also what makes the DuckDB oracle
     exact (set-dedup functions don't guarantee order across engines)."""
-    toks = tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
-    short = F.when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.array().cast("array<string>")
-    )
-    return F.when(F.size(toks) >= k, grams).otherwise(short)
+    def body(toks: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+        short = F.when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array().cast("array<string>")
+        )
+        return F.when(F.size(toks) >= k, grams).otherwise(short)
+
+    # let-bound: the per-shingle slice lambda must reference the token
+    # array as a VARIABLE — captured as a subtree it re-tokenizes the
+    # whole document per shingle (quadratic; see ``let``)
+    return let(tokens(col), body)
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
@@ -234,18 +262,23 @@ def doc_fingerprint(col: Column | str, window: int = 4) -> Column:
     fingerprint values), then keep the minimum hash of each sliding
     window — robust to small edits, computed entirely with JVM array
     expressions."""
-    hashes = F.transform(word_shingle_seq(col, 3), lambda s: h31(s))
-    n = F.size(hashes)
-    mins = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
-        lambda i: F.array_min(F.slice(hashes, i + 1, window)),
-    )
-    picked = F.when(n >= window, mins).otherwise(
-        F.when(n > 0, F.array(F.array_min(hashes))).otherwise(
-            F.array().cast("array<bigint>")
+    def body(hashes: Column) -> Column:
+        n = F.size(hashes)
+        mins = F.transform(
+            F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+            lambda i: F.array_min(F.slice(hashes, i + 1, window)),
         )
-    )
-    return F.array_distinct(picked)
+        picked = F.when(n >= window, mins).otherwise(
+            F.when(n > 0, F.array(F.array_min(hashes))).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        )
+        return F.array_distinct(picked)
+
+    # let-bound: the sliding-window min lambda references the hash array
+    # per window — captured as a subtree it would re-shingle AND re-hash
+    # the whole document per window position (see ``let``)
+    return let(F.transform(word_shingle_seq(col, 3), lambda s: h31(s)), body)
 
 
 # (pattern, replacement) — ORDER MATTERS: emails before phones (an email's
@@ -291,14 +324,16 @@ def positional_ngrams(col: Column | str, n: int) -> Column:
     which falls back to the whole text as one shingle (right for
     fingerprint coverage, wrong for repetition statistics where a
     sub-n-gram document simply has no n-grams)."""
-    toks = tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    def body(toks: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+        return F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let(tokens(col), body)  # same quadratic-capture fix as shingles
 
 
 def repetition_stats(col: Column | str, n: int) -> Column:
