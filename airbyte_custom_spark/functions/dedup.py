@@ -113,20 +113,27 @@ def _band_rows(
     signature re-hash).  Shared by the one-shot ``minhash_lsh_candidates``
     and the persisted ``MinHashLshIndex`` so band values are identical
     across batches by construction."""
+    from airbyte_custom_spark.functions.text import let
+
     rows_per_band = num_hashes // bands
-    # signature from the shingles already computed (not from text twice)
-    base = F.transform(
-        F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
-    )
 
     def rehash(a: int, b: int):
         return lambda h: F.pmod(a * h + b, F.lit(_MERSENNE))
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(base, rehash(a, b)))
-            for a, b in _affine_params(num_hashes, seed)
-        ]
+    def sig_of(base: F.Column) -> F.Column:
+        # base is LET-BOUND: captured as a subtree, each of the H affine
+        # rehash transforms re-evaluates the xxhash of every shingle —
+        # H× the hashing work per document (see text.let)
+        return F.array(
+            *[
+                F.array_min(F.transform(base, rehash(a, b)))
+                for a, b in _affine_params(num_hashes, seed)
+            ]
+        )
+
+    sig = let(
+        F.transform(F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))),
+        sig_of,
     )
     with_sig = with_sh.select("_id", sig.alias("_sig"))
     return with_sig.select(

@@ -35,13 +35,25 @@ def _norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Exact cosine between two array<float|double> columns — zip_with +
-    aggregate, fully JVM-side."""
+    aggregate, fully JVM-side.  The cast copies are let-bound (text.let)
+    so each side's double-cast array materializes once per row instead of
+    once for the norm and again for the dot."""
+    from airbyte_custom_spark.functions.text import let
+
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
-    ca = F.transform(ca, lambda x: x.cast("double"))
-    cb = F.transform(cb, lambda x: x.cast("double"))
-    denom = _norm(ca) * _norm(cb)
-    return F.when(denom > 0, _dot(ca, cb) / denom).otherwise(F.lit(0.0))
+    return let(
+        F.transform(ca, lambda x: x.cast("double")),
+        lambda va: let(
+            F.transform(cb, lambda x: x.cast("double")),
+            lambda vb: let(
+                _norm(va) * _norm(vb),
+                lambda den: F.when(den > 0, _dot(va, vb) / den).otherwise(
+                    F.lit(0.0)
+                ),
+            ),
+        ),
+    )
 
 
 def brute_force_topk(
@@ -85,19 +97,28 @@ def lsh_signature(
     literal — a single expression-tree node regardless of dim × n_planes
     (round-1 inlined dim × n_planes scalar literals, which bloats the plan
     to ~25k nodes at real embedding dims like 1536×16)."""
+    from airbyte_custom_spark.functions.text import let
+
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    v = F.transform(v, lambda x: x.cast("double"))
     planes = F.lit(_hyperplanes(dim, n_planes, seed)).cast("array<array<double>>")
     powers = F.lit([1 << i for i in range(n_planes)])
-    # bit i = sign(v · planes[i]); packed = Σ 2^i over nonnegative dots
-    return F.aggregate(
-        F.zip_with(
-            planes,
-            powers,
-            lambda p, pw: F.when(_dot(v, p) >= 0, pw).otherwise(F.lit(0).cast("long")),
+
+    # bit i = sign(v · planes[i]); packed = Σ 2^i over nonnegative dots.
+    # The cast vector is let-bound: captured as a subtree, the per-plane
+    # lambda would re-materialize it n_planes times per row (text.let).
+    return let(
+        F.transform(v, lambda x: x.cast("double")),
+        lambda vv: F.aggregate(
+            F.zip_with(
+                planes,
+                powers,
+                lambda p, pw: F.when(_dot(vv, p) >= 0, pw).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
     )
 
 
@@ -285,20 +306,27 @@ def ivf_assign(
     expressions over ONE inlined nested-array literal (the
     ``lsh_signature`` plan-size discipline); ordering is (dot DESC,
     list id ASC) — the tie rule the DuckDB oracle replicates."""
+    from airbyte_custom_spark.functions.text import let
+
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    v = F.transform(v, lambda x: x.cast("double"))
     cents = F.lit(centroids).cast("array<array<double>>")
     idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
-    scored = F.zip_with(
-        cents, idx, lambda c, i: F.struct(_dot(v, c).alias("s"), i.alias("i"))
-    )
-    ordered = F.array_sort(
-        scored,
-        lambda a, b: F.when(a["s"] > b["s"], F.lit(-1))
-        .when(a["s"] < b["s"], F.lit(1))
-        .otherwise(F.signum(a["i"] - b["i"]).cast("int")),
-    )
-    return ordered[rank - 1]["i"]
+
+    def body(vv: Column) -> Column:
+        # vv let-bound: the per-centroid dot lambda would otherwise
+        # re-cast the vector once per centroid (text.let)
+        scored = F.zip_with(
+            cents, idx, lambda c, i: F.struct(_dot(vv, c).alias("s"), i.alias("i"))
+        )
+        ordered = F.array_sort(
+            scored,
+            lambda a, b: F.when(a["s"] > b["s"], F.lit(-1))
+            .when(a["s"] < b["s"], F.lit(1))
+            .otherwise(F.signum(a["i"] - b["i"]).cast("int")),
+        )
+        return ordered[rank - 1]["i"]
+
+    return let(F.transform(v, lambda x: x.cast("double")), body)
 
 
 def ivf_topk(

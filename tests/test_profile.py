@@ -53,14 +53,20 @@ def test_approx_mode_close_and_no_expand(spark, frame):
     assert "Expand" not in plan
 
 
-def test_exact_mode_plans_expand(spark, frame):
-    """Documents the trade-off the module docstring states: simultaneous
-    exact distincts replicate scan rows via Expand — opt-in only."""
+def test_exact_mode_avoids_expand(spark, frame):
+    """Round-6: exact distincts run as per-column single-distinct
+    aggregations cross-joined back — NEVER the k-way Expand that
+    replicates every scan row through every other aggregate (measured
+    superadditive with the exact-percentile buffers: 21-24s combined vs
+    2.5s + 5s apart at 600k rows)."""
     out = profile_columns(
         frame, numeric_cols=("x",), string_cols=("s",), distinct_mode="exact"
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" in plan
+    assert "Expand" not in plan
+    # one single-distinct aggregation per exact column, joined as 1-row
+    # frames (broadcast nested loop of single rows — no data shuffle)
+    assert plan.count("count(distinct") >= 2 or "BroadcastNestedLoopJoin" in plan
 
 
 def test_single_aggregation_job(spark, frame):
