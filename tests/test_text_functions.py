@@ -414,3 +414,35 @@ def test_corpus_repetition_plan_discipline(spark, sf_dir):
     assert exchange_count(df) <= 3, plan
     assert "rangepartitioning" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_let_binds_invariants_once(spark):
+    """`let` (round 6): the bound value must behave exactly like inlining
+    the subtree — same results for scalars, arrays, and NULLs — while
+    evaluating it once per row (the quadratic-capture fix for HOF
+    lambdas; see text.let docstring)."""
+    from pyspark.sql import functions as F
+
+    from airbyte_custom_spark.functions.text import let, tokens
+
+    df = spark.createDataFrame(
+        [("a b c d e",), ("",), (None,), ("one",)], "s string"
+    )
+    # let-bound shingle-style use ≡ direct capture, including NULL/empty
+    direct = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens("s")) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tokens("s"), i + 1, 2)),
+    )
+    bound = let(
+        tokens("s"),
+        lambda t: F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(t) - 2, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, 2)),
+        ),
+    )
+    rows = df.select(direct.alias("a"), bound.alias("b")).collect()
+    for r in rows:
+        assert r["a"] == r["b"], r
+    # scalar bind
+    out = df.select(let(F.length("s") * 2, lambda v: v + 1).alias("x")).collect()
+    assert [r["x"] for r in out] == [19, 1, None, 7]
