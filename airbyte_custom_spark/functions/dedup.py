@@ -607,6 +607,14 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    def _label_sum(frame: DataFrame):
+        # decimal(38,0): exact at any node count × id magnitude — a long
+        # sum could overflow at 100-TB corpus scale
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = _label_sum(lab)
     try:
         for _ in range(max_iter):
             nbr = sym.join(lab, sym["u"] == lab["id"]).select(
@@ -630,16 +638,18 @@ def connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                lab.alias("o")
-                .join(jumped.alias("n"), "id")
-                .filter(F.col("o.label") != F.col("n.label"))
-                .limit(1)
-                .count()
-            )
+            # fixpoint probe (round 6): labels decrease MONOTONICALLY and
+            # the id set is fixed, so "no label changed" ⇔ "sum(label)
+            # unchanged" — one narrow aggregate over the just-
+            # checkpointed frame instead of a join against the previous
+            # round's table (one fewer join job per round; same
+            # round-count and identical output by the monotonicity
+            # argument).
+            new_sum = _label_sum(jumped)
             lab = jumped
-            if changed == 0:
+            if new_sum == prev_sum:
                 return lab.select("id", F.col("label").alias("component"))
+            prev_sum = new_sum
     finally:
         sym.unpersist()
     raise RuntimeError(
