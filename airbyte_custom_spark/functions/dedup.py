@@ -577,10 +577,13 @@ def connected_components(
     whose id IS the component minimum keeps its own id, so the final
     label is exactly min(id) over the component.  Labels decrease
     monotonically and are bounded below, so a fixpoint is reached; the
-    iteration stops at the first round with zero changed labels (cheap
-    existence probe, not a full count) and raises loudly if ``max_iter``
-    rounds were insufficient rather than returning a silently-partial
-    clustering.
+    iteration stops at the first round whose label SUM is unchanged —
+    valid precisely because labels are monotone non-increasing over a
+    fixed id set (any change strictly lowers the sum; decimal(38,0)
+    keeps it exact at any scale), one narrow aggregate per round instead
+    of a join against the previous round — and raises loudly if
+    ``max_iter`` rounds were insufficient rather than returning a
+    silently-partial clustering.
 
     100-TB posture: the working set per round is one (id,label) row per
     node touched by a dup pair — orders of magnitude smaller than the

@@ -48,7 +48,9 @@ def profile_columns(
     (characters), empty (zero-length count).
 
     distinct_mode: "approx" (default — HLL++, single pass, the 100-TB
-    path), "exact" (k-way Expand; audit scale), "none" (skip).
+    path), "exact" (audit scale; one extra column-pruned pass over
+    ``df`` PER exact column — cheap on a parquet scan, but cache ``df``
+    first if it is an expensive computed pipeline), "none" (skip).
     """
     if distinct_mode not in ("approx", "exact", "none"):
         raise ValueError(f"unknown distinct_mode {distinct_mode!r}")

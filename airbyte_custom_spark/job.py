@@ -813,11 +813,17 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         try:
             delta = spark.read.parquet(args.delta)
             delta.schema  # force analysis
-        except Exception:
+        except Exception as e:
             # a delete-only refresh writes an EMPTY partitioned dir
             # (just _SUCCESS) — schema inference fails, but the removal
             # path below must still run so gate-dropped conversations
-            # leave the corpus; substitute an empty delta
+            # leave the corpus; substitute an empty delta.  ONLY that
+            # case: any other read failure (mistyped path, permissions,
+            # corrupt files) must abort loudly — swallowing it would
+            # silently delete every touched conversation from the base
+            # while reporting success.
+            if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                raise
             delta = spark.createDataFrame([], base.schema)
         # touched convs come from the TABLE, not the delta: a conversation
         # that fell below the quality gate after the refresh has no delta

@@ -26,10 +26,11 @@ Scale notes (100 TB / 1000 executors):
     64-bit hash resolves virtually all comparisons on the first long
     (measured 1.4-1.6× on both formulations).  The prefix is an internal
     column — outputs are unchanged.
-  * ``latest_by_reduce`` is the algebraic-aggregate form (groupBy +
-    max_by): identical output, map-side partial aggregation; its struct
-    buffer forces a SortAggregate, so prefer ``latest_per_key`` unless an
-    algebraic aggregate is specifically needed.
+  * ``latest_by_reduce`` (round 6) delegates to ``latest_per_key`` — the
+    window-limit form measured strictly faster and just as map-side-
+    collapsing.  The algebraic groupBy + max_by formulation survives as
+    ``latest_by_maxby`` for when an AggregateFunction is specifically
+    needed (its struct buffer plans as a SortAggregate).
   * ``latest_by_window`` is the reference-faithful T3 form (row_number over
     cursor DESC NULLS LAST) kept verbatim for parity testing.
   * ``salted_latest`` shows the explicit two-stage salted repartition the

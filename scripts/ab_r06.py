@@ -6,7 +6,7 @@ Spark session — the only comparison that survives this host's co-tenant
 weather (BENCH.md: identical code swings 2x between windows).
 
 Usage: python scripts/ab_r06.py <experiment> [--events N] [--reps K]
-Experiments: genwrite, latest, mergepersist, zstdlevel
+Experiments: genwrite, latest, zstdlevel
 """
 
 from __future__ import annotations
@@ -119,7 +119,7 @@ def main() -> None:
             rep("maxby", lambda: noop(latest_by_maxby(events, pk)))
             rep("window", lambda: noop(latest_per_key(events, pk)))
 
-    elif args.experiment in ("mergepersist", "zstdlevel"):
+    elif args.experiment == "zstdlevel":
         from airbyte_custom_spark.lake.table import LakeTable
         from airbyte_custom_spark.schema import CDC_EVENT_SCHEMA, TRANSCRIPT_SCHEMA
 
@@ -156,18 +156,12 @@ def main() -> None:
             results.setdefault(tag, []).append(dt)
             log(f"  {tag}: {dt}s")
 
-        if args.experiment == "zstdlevel":
-            run_micro("warm")
-            results.pop("warm")
-            for _ in range(args.reps):
-                run_micro("zstd_default")
-                run_micro("zstd_l1", {
-                    "spark.hadoop.parquet.compression.codec.zstd.level": "1"})
-        else:
-            run_micro("warm")
-            results.pop("warm")
-            for _ in range(args.reps):
-                run_micro("cow8")
+        run_micro("warm")
+        results.pop("warm")
+        for _ in range(args.reps):
+            run_micro("zstd_default")
+            run_micro("zstd_l1", {
+                "spark.hadoop.parquet.compression.codec.zstd.level": "1"})
 
     spark.stop()
     print(json.dumps(results))

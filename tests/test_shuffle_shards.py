@@ -267,6 +267,16 @@ def test_cli_merge_shards_equals_full_reexport(spark, tmp_path, capsys):
         run(capsys, "merge-shards", "--base", "s3a://bucket/corpus",
             "--delta", delta, "--table", tbl, "--cursor", str(cursor))
 
+    # a MISSING delta path must abort loudly — only the legitimate
+    # empty-partitioned-dir (just _SUCCESS) case substitutes an empty
+    # delta; swallowing a typo'd path would silently delete every
+    # touched conversation while reporting success
+    with _pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
+        run(capsys, "merge-shards", "--base", base,
+            "--delta", str(tmp_path / "no-such-delta"),
+            "--table", tbl, "--cursor", str(cursor))
+    assert by_shard(base) == want  # base untouched by the failed run
+
 
 def test_cli_sharded_packed_export_keys_windows(spark, tmp_path, capsys):
     """Packed exports shard by (conv_id, window_id): two windows of one
